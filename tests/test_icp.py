@@ -1,0 +1,138 @@
+"""ICP property tests: recovery of known perturbations, trimming, robustness,
+weight gradients through the unrolled solver, and NN-association parity."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mm_masking_tpu.dicp import ICP, ICPConfig, icp, TARGET_PAD_VAL
+from mm_masking_tpu.geom import se3_exp, se3_inv, transform_points, planar_xi_first_order
+from mm_masking_tpu.ops.pallas.nn_assoc import nn_argmin_blocked
+
+
+def make_scene(seed=0, B=2, N=256, M=400, n_pad_src=20, n_pad_map=50,
+               with_normals=True):
+    """Synthetic planar scene: map cloud + scan = gt-aligned subsample."""
+    rng = np.random.default_rng(seed)
+    map_pts = np.zeros((B, M, 3), np.float32)
+    map_pts[..., 0] = rng.uniform(-40, 40, (B, M))
+    map_pts[..., 1] = rng.uniform(-40, 40, (B, M))
+    nrm = rng.normal(size=(B, M, 3)).astype(np.float32)
+    nrm[..., 2] *= 0.1  # mostly planar normals
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    # scan: first N map points (gt = identity), mild noise
+    src = map_pts[:, :N].copy() + rng.normal(0, 0.01, (B, N, 3)).astype(np.float32)
+    src[..., 2] = 0.0
+    src[:, N - n_pad_src:] = 0.0  # zero pads
+    map_pts[:, M - n_pad_map:] = TARGET_PAD_VAL
+    nrm[:, M - n_pad_map:] = TARGET_PAD_VAL
+    target = np.concatenate([map_pts, nrm], axis=-1) if with_normals else map_pts
+    return jnp.asarray(src), jnp.asarray(target)
+
+
+def perturb(B, seed=1, pos=0.5, rot=0.1):
+    rng = np.random.default_rng(seed)
+    xi = np.zeros((B, 6), np.float32)
+    xi[:, 0:2] = rng.uniform(-pos, pos, (B, 2))
+    xi[:, 5] = rng.uniform(-rot, rot, B)
+    return se3_exp(jnp.asarray(xi))
+
+
+def planar_err(T):
+    th, r = planar_xi_first_order(T)
+    return float(jnp.max(jnp.abs(th))), float(jnp.max(jnp.linalg.norm(r, axis=-1)))
+
+
+def test_pt2pt_recovers_identity():
+    src, tgt = make_scene()
+    T_init = perturb(2)
+    cfg = ICPConfig(icp_type="pt2pt", max_iterations=30, differentiable=True)
+    out = icp(src, tgt, T_init, cfg=cfg)
+    rot_e, tr_e = planar_err(out["T"])
+    assert rot_e < 5e-3, rot_e
+    assert tr_e < 5e-2, tr_e
+
+
+def test_pt2pl_recovers_identity():
+    src, tgt = make_scene(seed=2)
+    T_init = perturb(2, seed=3)
+    cfg = ICPConfig(icp_type="pt2pl", max_iterations=30, differentiable=True)
+    out = icp(src, tgt, T_init, cfg=cfg)
+    rot_e, tr_e = planar_err(out["T"])
+    assert rot_e < 5e-3, rot_e
+    assert tr_e < 5e-2, tr_e
+
+
+def test_inference_while_loop_converges():
+    src, tgt = make_scene(seed=4)
+    T_init = perturb(2, seed=5)
+    alg = ICP(icp_type="pt2pt", differentiable=False, max_iterations=50)
+    out = alg.icp(src, tgt, T_init)
+    rot_e, tr_e = planar_err(out["T"])
+    assert rot_e < 5e-3
+    assert tr_e < 5e-2
+    assert int(out["iterations"]) <= 50
+
+
+def test_dim2_keeps_z_roll_pitch_fixed():
+    src, tgt = make_scene(seed=6)
+    T_init = perturb(2, seed=7)
+    out = icp(src, tgt, T_init, cfg=ICPConfig(max_iterations=10))
+    T = np.asarray(out["T"])
+    Ti = np.asarray(T_init)
+    # z-translation unchanged; rotation stays about z (third row/col of R fixed).
+    np.testing.assert_allclose(T[:, 2, 3], Ti[:, 2, 3], atol=1e-6)
+    np.testing.assert_allclose(T[:, 2, :3], Ti[:, 2, :3], atol=1e-6)
+
+
+def test_weights_mask_outliers():
+    # Corrupt a block of scan points; with those points' weights zeroed the
+    # solve must recover cleanly even though unweighted ICP is pulled away.
+    src, tgt = make_scene(seed=8, B=1, N=256, M=400)
+    src_bad = np.asarray(src).copy()
+    src_bad[:, :64, 0] += 8.0  # gross outliers
+    src_bad = jnp.asarray(src_bad)
+    T_init = perturb(1, seed=9, pos=0.3, rot=0.05)
+    w = np.ones((1, 256), np.float32)
+    w[:, :64] = 0.0
+    cfg = ICPConfig(icp_type="pt2pt", max_iterations=25, loss_name="none",
+                    trim_dist=50.0)
+    out_w = icp(src_bad, tgt, T_init, weight=jnp.asarray(w), cfg=cfg)
+    rot_e, tr_e = planar_err(out_w["T"])
+    assert tr_e < 5e-2, tr_e
+
+
+def test_gradient_flows_to_weights():
+    src, tgt = make_scene(seed=10, B=1)
+    T_init = perturb(1, seed=11)
+    w = jnp.ones((1, src.shape[1]))
+
+    def loss(w):
+        out = icp(src, tgt, T_init, weight=w,
+                  cfg=ICPConfig(max_iterations=5))
+        th, r = planar_xi_first_order(out["T"])
+        return jnp.sum(jnp.abs(th)) + jnp.sum(jnp.linalg.norm(r, axis=-1))
+
+    g = jax.grad(loss)(w)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).sum() > 0
+
+
+def test_nn_blocked_matches_naive():
+    rng = np.random.default_rng(12)
+    p = jnp.asarray(rng.normal(size=(2, 100, 3)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(2, 333, 3)).astype(np.float32))
+    idx, d2 = nn_argmin_blocked(p, q, chunk=64)
+    # Naive full-matrix reference.
+    d_full = np.linalg.norm(
+        np.asarray(p)[:, :, None] - np.asarray(q)[:, None], axis=-1
+    ) ** 2
+    want_idx = d_full.argmin(axis=2)
+    np.testing.assert_array_equal(np.asarray(idx), want_idx)
+    np.testing.assert_allclose(np.asarray(d2), d_full.min(axis=2), atol=1e-4)
+
+
+def test_target_pads_never_selected():
+    src, tgt = make_scene(seed=13, B=1, N=64, M=128, n_pad_map=40)
+    idx, _ = nn_argmin_blocked(src, tgt[..., :3], chunk=32)
+    assert int(jnp.max(idx)) < 128 - 40
