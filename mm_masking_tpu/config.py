@@ -1,0 +1,139 @@
+"""Typed configuration for the whole framework.
+
+One dataclass tree replacing the reference's in-code ``params`` dict
+(`/root/reference/mm_masking/train_icp_weights.py:354-410`), its loss-weight
+dict (`:414-417`), and the hard-coded sequence-pair lists (`:420-432`). Field
+names mirror the reference's param keys so a user of the reference can map
+their configuration 1:1.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LossWeights:
+    """Multi-term loss weights (reference `train_icp_weights.py:414-417`)."""
+
+    icp_rot: float = 1.0
+    icp_trans: float = 1.0
+    fft: float = 0.0
+    mask_pts: float = 1.0
+    cfar: float = 0.0
+    num_pts: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """UNet + ICP policy knobs (reference `icp_weight_policy.py:24-102`)."""
+
+    icp_type: str = "pt2pt"  # "pt2pt" | "pt2pl"
+    fft_input: bool = True
+    cfar_input: bool = False
+    range_input: bool = False
+    network_input_type: str = "cartesian"  # "cartesian" | "polar"
+    network_output_type: str = "cartesian"
+    leaky: bool = False
+    dropout: float = 0.05
+    batch_norm: bool = False
+    init_weights: bool = True  # Xavier-uniform convs, zero bias
+    log_transform: bool = False
+    normalize: str = "minmax"  # "minmax" | "standardize" | "none"
+    norm_weights: bool = True  # scale mask by per-image max
+    binary_inference: bool = False
+    a_thresh: float = 1.0
+    b_thresh: float = 0.09
+    max_iter: int = 10  # differentiable ICP iterations (training)
+    inference_max_iter: int = 50
+    gt_eye: bool = True
+    res: float = 0.0596  # polar range resolution (m/bin)
+    cart_resolution: float = 0.2384
+    cart_pixel_width: int = 640
+    polar_shape: tuple[int, int] = (400, 3360)
+    enc_channels: tuple[int, ...] = (8, 16, 32, 64, 128, 256)
+    dtype: str = "float32"  # activations dtype ("bfloat16" for MXU-friendly)
+
+    @property
+    def in_channels(self) -> int:
+        return int(self.fft_input) + int(self.cfar_input) + int(self.range_input)
+
+    @property
+    def jax_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset construction knobs (reference `icp_weight_dataset.py:29-65`)."""
+
+    map_sensor: str = "lidar"
+    loc_sensor: str = "radar"
+    num_train: int = -1  # -1 = all
+    num_val: int = -1
+    augment: bool = True
+    random: bool = False  # False -> seed 99, reference determinism switch
+    use_gt: bool = False
+    pos_std: float = 2.0
+    rot_std: float = 0.6
+    gt_eye: bool = True
+    float_type: str = "float32"
+    # Static pad sizes (compile-time constants; reference derives them from a
+    # metadata.csv scan of the pose graphs).
+    max_loc_pts: int = 4096
+    max_map_pts: int = 16384
+    elevation_threshold: float = 0.05
+    z_normal_threshold: float = 0.9
+    data_dir: str = "data"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Trainer knobs (reference `train_icp_weights.py:354-410`)."""
+
+    batch_size_train: int = 16
+    batch_size_test: int = 32
+    shuffle: bool = True
+    num_epochs: int = 30
+    learning_rate: float = 1e-4
+    optimizer: str = "adam"  # "adam" | "sgd"
+    clip_value: float = 0.0
+    icp_loss_only_iter: int = -1
+    seed: int = 99
+    checkpoint_dir: str = "results/checkpoints"
+    checkpoint_every: int = 1
+    # Mesh: data-parallel axis size; -1 = all local devices.
+    num_devices: int = -1
+    mesh_axis: str = "data"
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = ModelConfig()
+    data: DataConfig = DataConfig()
+    train: TrainConfig = TrainConfig()
+    loss: LossWeights = LossWeights()
+    train_loc_pairs: Sequence[tuple[str, str]] = (
+        ("boreas-2020-11-26-13-58", "boreas-2020-12-01-13-26"),
+        ("boreas-2020-11-26-13-58", "boreas-2020-12-18-13-44"),
+        ("boreas-2020-11-26-13-58", "boreas-2021-02-02-14-07"),
+        ("boreas-2020-11-26-13-58", "boreas-2021-03-02-13-38"),
+        ("boreas-2020-11-26-13-58", "boreas-2021-03-30-14-23"),
+        ("boreas-2020-11-26-13-58", "boreas-2021-04-20-14-11"),
+        ("boreas-2020-11-26-13-58", "boreas-2021-04-08-12-44"),
+        ("boreas-2020-11-26-13-58", "boreas-2021-04-29-15-55"),
+        ("boreas-2020-11-26-13-58", "boreas-2021-05-06-13-19"),
+        ("boreas-2020-11-26-13-58", "boreas-2021-06-17-17-52"),
+        ("boreas-2020-11-26-13-58", "boreas-2021-08-05-13-34"),
+        ("boreas-2020-11-26-13-58", "boreas-2021-09-07-09-35"),
+    )
+    val_loc_pairs: Sequence[tuple[str, str]] = (
+        ("boreas-2020-11-26-13-58", "boreas-2021-04-13-14-49"),
+    )
+
+    @property
+    def use_icp_4_train(self) -> bool:
+        # Reference `icp_weight_policy.py:48-51`.
+        return self.loss.icp_rot > 0.0 and self.loss.icp_trans > 0.0

@@ -1,0 +1,128 @@
+"""Synthetic Boreas-like scan/map generator.
+
+Produces batches with the exact structure `ICPWeightDataset.__getitem__` returns
+(`/root/reference/mm_masking/icp_weight_dataset.py:357-362`): polar FFT image +
+CFAR mask + padded raw/filtered scan clouds + padded map cloud with normals +
+ground-truth and perturbed initial transforms. Used for unit tests, benchmarks,
+and compile-checks where the real Boreas pose graphs aren't mounted; geometry
+and padding conventions are identical to the real pipeline so every op and the
+full train step exercise the same shapes and code paths.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mm_masking_tpu.dicp import TARGET_PAD_VAL
+from mm_masking_tpu.geom import se3_exp
+from mm_masking_tpu.ops import cfar_mask, radar_polar_to_cartesian
+
+
+@dataclasses.dataclass(frozen=True)
+class SyntheticSpec:
+    n_scan: int = 768  # scan cloud pad size
+    n_map: int = 2048  # map cloud pad size
+    polar_shape: tuple[int, int] = (400, 3360)
+    cart_pixel_width: int = 640
+    res: float = 0.0596
+    cart_resolution: float = 0.2384
+    min_range: float = 4.0
+    max_range: float = 70.0
+    pos_std: float = 2.0
+    rot_std: float = 0.6
+    noise: float = 0.02
+    network_input_type: str = "cartesian"
+
+
+def synthetic_batch(seed: int, batch: int, spec: SyntheticSpec = SyntheticSpec()):
+    """Returns (batch dict mirroring the dataset item structure, T_gt = I)."""
+    rng = np.random.default_rng(seed)
+    A, R = spec.polar_shape
+
+    # Scatterers: radial walls + random clutter, planar (z = 0).
+    n_real_scan = int(spec.n_scan * 0.9)
+    n_real_map = int(spec.n_map * 0.9)
+
+    ranges = rng.uniform(spec.min_range, spec.max_range, (batch, n_real_map))
+    angles = rng.uniform(0, 2 * np.pi, (batch, n_real_map))
+    map_xy = np.stack(
+        [ranges * np.cos(angles), ranges * np.sin(angles)], axis=-1
+    ).astype(np.float32)
+
+    map_pts = np.full((batch, spec.n_map, 3), TARGET_PAD_VAL, np.float32)
+    map_pts[:, :n_real_map, :2] = map_xy
+    map_pts[:, :n_real_map, 2] = 0.0
+    # Planar normals (unit, mostly horizontal) — required for pt2pl.
+    nrm = rng.normal(size=(batch, spec.n_map, 3)).astype(np.float32)
+    nrm[..., 2] *= 0.05
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm[:, n_real_map:] = TARGET_PAD_VAL
+    map_pc = np.concatenate([map_pts, nrm], axis=-1)
+
+    # Scan: subsample of map scatterers + noise; gt_eye convention (map already
+    # aligned into the scan frame, T_gt = identity).
+    sel = rng.permutation(n_real_map)[:n_real_scan]
+    scan = np.zeros((batch, spec.n_scan, 3), np.float32)
+    scan[:, :n_real_scan] = map_pts[:, sel] + rng.normal(
+        0, spec.noise, (batch, n_real_scan, 3)
+    ).astype(np.float32)
+    scan[:, :n_real_scan, 2] = 0.0
+
+    # Polar FFT image: splat scan returns into (azimuth, range) bins.
+    fft = (0.05 * rng.random((batch, A, R)) ** 2).astype(np.float32)
+    az_grid = np.linspace(0, 2 * np.pi * (A - 1) / A, A).astype(np.float32)
+    scan_r = np.linalg.norm(scan[:, :n_real_scan, :2], axis=-1)
+    scan_a = np.mod(
+        np.arctan2(scan[:, :n_real_scan, 1], scan[:, :n_real_scan, 0]), 2 * np.pi
+    )
+    a_idx = np.clip((scan_a / (2 * np.pi / A)).astype(int), 0, A - 1)
+    r_idx = np.clip((scan_r / spec.res).astype(int), 0, R - 2)
+    b_idx = np.broadcast_to(np.arange(batch)[:, None], a_idx.shape)
+    for dr in (0, 1):
+        fft[b_idx, a_idx, r_idx + dr] = rng.uniform(
+            0.6, 1.0, size=a_idx.shape
+        ).astype(np.float32)
+
+    azimuths = np.broadcast_to(az_grid[None], (batch, A)).copy()
+    az_times = np.linspace(0, 0.25, A, dtype=np.float32)
+    az_times = np.broadcast_to(az_times[None], (batch, A)).copy()
+
+    fft_j = jnp.asarray(fft)
+    cfar = cfar_mask(fft_j, spec.res, diff=False)
+
+    if spec.network_input_type == "cartesian":
+        az_j = jnp.asarray(azimuths)
+        fft_img = radar_polar_to_cartesian(
+            fft_j, az_j, spec.res, spec.cart_resolution, spec.cart_pixel_width
+        )
+        cfar_img = radar_polar_to_cartesian(
+            cfar, az_j, spec.res, spec.cart_resolution, spec.cart_pixel_width
+        )
+    else:
+        fft_img, cfar_img = fft_j, cfar
+
+    # Perturbed initial guess (reference train-style uniform sampling,
+    # `icp_weight_dataset.py:260-267`).
+    xi = np.zeros((batch, 6), np.float32)
+    u = 2 * rng.random((batch, 6)) - 1
+    xi[:, 0:2] = (spec.pos_std * u[:, 0:2]).astype(np.float32)
+    xi[:, 5] = (spec.rot_std * u[:, 5]).astype(np.float32)
+    T_init = se3_exp(jnp.asarray(xi))
+    T_gt = jnp.broadcast_to(jnp.eye(4), (batch, 4, 4))
+
+    batch_dict = {
+        "loc_data": {
+            "raw_pc": jnp.asarray(scan),
+            "filtered_pc": jnp.asarray(scan),
+            "fft_data": fft_img,
+            "fft_cfar": cfar_img,
+            "azimuths": jnp.asarray(azimuths),
+            "az_times": jnp.asarray(az_times),
+        },
+        "map_data": {"pc": jnp.asarray(map_pc)},
+        "transforms": {"T_ml_init": T_init, "T_ml_gt": T_gt},
+    }
+    return batch_dict

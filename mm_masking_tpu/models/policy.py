@@ -1,0 +1,199 @@
+"""Learned ICP-weight policy: UNet mask → per-point weights → differentiable ICP.
+
+Functional JAX rebuild of `LearnICPWeightPolicy`
+(`/root/reference/mm_masking/icp_weight_policy.py:24-288`). The torch module's
+forward becomes a pure function of (params, batch); training/inference solver
+selection, input assembly, batch-global normalization, weight normalization,
+binary masks, override masks, and the mask-only path all mirror the reference.
+
+The batch-global minmax/standardize normalization (`:151-159` — statistics over
+the WHOLE batch, not per-sample) is kept as a plain ``jnp.max``/``jnp.mean``
+over the batch axis: under `pjit` with a sharded batch XLA turns these into
+cross-chip collectives automatically, preserving the reference's cross-sample
+coupling on a mesh (SURVEY.md §7 hard part d).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mm_masking_tpu.config import Config, ModelConfig
+from mm_masking_tpu.dicp import ICPConfig, icp
+from mm_masking_tpu.models.unet import UNet
+from mm_masking_tpu.ops import (
+    extract_weights,
+    form_cart_range_angle_grid,
+    form_polar_range_grid,
+    radar_polar_to_cartesian,
+)
+
+
+class PolicyOutput(NamedTuple):
+    T_pred: jax.Array  # (B, 4, 4)
+    weight_mask: jax.Array  # (B, H, W)
+    diff_mean_num_non0: jax.Array  # differentiable point count (scalar)
+    stats: Any  # WeightStats
+
+
+class LearnICPWeightPolicy:
+    """Stateless policy: `init` makes params, `apply` runs the forward pass."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        m = cfg.model
+        self.unet = UNet(
+            enc_channels=m.enc_channels,
+            leaky=m.leaky,
+            batch_norm=m.batch_norm,
+            dropout=m.dropout,
+            dtype=m.jax_dtype,
+        )
+        if m.network_input_type == "cartesian":
+            self.range_mask, _ = form_cart_range_angle_grid(
+                m.cart_resolution, m.cart_pixel_width
+            )
+        else:
+            self.range_mask = form_polar_range_grid(m.res, m.polar_shape)
+        self._icp_train = ICPConfig(
+            icp_type=m.icp_type,
+            max_iterations=m.max_iter,
+            differentiable=True,
+        )
+        self._icp_inference = ICPConfig(
+            icp_type=m.icp_type,
+            max_iterations=m.inference_max_iter,
+            tolerance=1e-5,
+            differentiable=False,
+        )
+
+    # -- parameter init ----------------------------------------------------
+    def init(self, rng: jax.Array) -> Any:
+        m = self.cfg.model
+        if m.network_input_type == "cartesian":
+            H = W = m.cart_pixel_width
+        else:
+            H, W = m.polar_shape
+        dummy = jnp.zeros((1, H, W, m.in_channels), m.jax_dtype)
+        return self.unet.init({"params": rng}, dummy, train=False)
+
+    # -- network-only mask -------------------------------------------------
+    def compute_mask(
+        self,
+        variables: Any,
+        fft_data: jax.Array,
+        fft_cfar: jax.Array | None,
+        *,
+        train: bool,
+        rng: jax.Array | None = None,
+    ) -> jax.Array:
+        """Assemble input channels → normalize → UNet → (B, H, W) mask."""
+        m = self.cfg.model
+        chans = []
+        if m.fft_input:
+            chans.append(fft_data)
+        if m.cfar_input:
+            chans.append(fft_cfar)
+        if m.range_input:
+            chans.append(
+                jnp.broadcast_to(
+                    self.range_mask[None], (fft_data.shape[0],) + self.range_mask.shape
+                )
+            )
+        x = jnp.stack(chans, axis=-1)  # (B, H, W, C)
+
+        if m.log_transform:
+            x = jnp.log(x + 1e-6)
+        # Batch-global per-channel normalization (reference `:151-159`).
+        if "minmax" in m.normalize:
+            c_max = jnp.max(x, axis=(0, 1, 2), keepdims=True)
+            c_min = jnp.min(x, axis=(0, 1, 2), keepdims=True)
+            x = (x - c_min) / (c_max - c_min)
+        elif "standardize" in m.normalize:
+            c_mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
+            c_std = jnp.std(x, axis=(0, 1, 2), ddof=1, keepdims=True)
+            x = (x - c_mean) / c_std
+
+        x = x.astype(m.jax_dtype)
+        rngs = {"dropout": rng} if (train and m.dropout > 0.0) else None
+        mask = self.unet.apply(variables, x, train=train, rngs=rngs)
+        return mask.astype(jnp.float32)
+
+    # -- full forward ------------------------------------------------------
+    def apply(
+        self,
+        variables: Any,
+        batch_scan: dict,
+        batch_map: dict,
+        T_init: jax.Array,
+        *,
+        train: bool = False,
+        binary: bool = False,
+        override_mask: jax.Array | None = None,
+        mask_only: bool = False,
+        rng: jax.Array | None = None,
+    ) -> PolicyOutput | jax.Array:
+        """Mirror of the reference forward (`icp_weight_policy.py:127-275`).
+
+        batch_scan: {'fft_data' (B,H,W), 'fft_cfar' (B,H,W), 'raw_pc' (B,N,3),
+                     'filtered_pc' (B,N,3)}; batch_map: {'pc' (B,M,6)}.
+        """
+        m = self.cfg.model
+        if override_mask is None:
+            weight_mask = self.compute_mask(
+                variables,
+                batch_scan["fft_data"],
+                batch_scan.get("fft_cfar"),
+                train=train,
+                rng=rng,
+            )
+        else:
+            weight_mask = override_mask
+
+        if m.norm_weights:
+            weight_mask = weight_mask / jnp.amax(
+                weight_mask, axis=(1, 2), keepdims=True
+            )
+        if binary:
+            weight_mask = jnp.where(weight_mask > 0.5, 1.0, 0.0)
+        if mask_only:
+            return weight_mask
+
+        if m.network_output_type == "polar":
+            # Capability extension: polar masks are warped to cartesian before
+            # point sampling (the reference's extract_weights assumes a
+            # cartesian mask; its polar path was never exercised end to end).
+            cart_mask = radar_polar_to_cartesian(
+                weight_mask,
+                batch_scan["azimuths"],
+                m.res,
+                m.cart_resolution,
+                m.cart_pixel_width,
+            )
+        else:
+            cart_mask = weight_mask
+
+        weights, stats = extract_weights(
+            cart_mask,
+            batch_scan["raw_pc"],
+            cart_resolution=m.cart_resolution,
+            cart_pixel_width=m.cart_pixel_width,
+        )
+
+        # Training without ICP loss: skip the solver entirely (`:270-271`).
+        if train and not self.cfg.use_icp_4_train:
+            return PolicyOutput(T_init, weight_mask, stats.diff_mean_num_non0, stats)
+
+        cfg_icp = self._icp_train if train else self._icp_inference
+        result = icp(
+            batch_scan["filtered_pc"],
+            batch_map["pc"],
+            T_init,
+            weight=weights,
+            cfg=dataclasses.replace(cfg_icp, dim=2),
+        )
+        return PolicyOutput(
+            result["T"], weight_mask, stats.diff_mean_num_non0, stats
+        )

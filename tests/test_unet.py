@@ -1,0 +1,69 @@
+"""UNet: upsample parity vs torch, shapes, decoder weight sharing, init."""
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+
+from mm_masking_tpu.models import UNet, upsample_bilinear_align_corners
+
+
+def test_upsample_matches_torch_align_corners():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 5, 7, 3)).astype(np.float32)
+    for size in [(10, 14), (9, 13), (5, 7), (3, 4)]:
+        want = (
+            torch.nn.UpsamplingBilinear2d(size=size)(
+                torch.from_numpy(x).permute(0, 3, 1, 2)
+            )
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        got = np.asarray(upsample_bilinear_align_corners(jnp.asarray(x), size))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def _tiny_unet():
+    return UNet(enc_channels=(4, 8, 16), dropout=0.0)
+
+
+def test_unet_output_shape_and_range():
+    net = _tiny_unet()
+    x = jnp.ones((2, 32, 48, 1))
+    variables = net.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    y = net.apply(variables, x, train=False)
+    assert y.shape == (2, 32, 48)
+    assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+
+
+def test_decoder_weight_sharing():
+    # Each decoder stage must own exactly ONE conv block (applied twice), so a
+    # 3-level UNet has 3 encoder + 2 decoder blocks + final conv.
+    net = _tiny_unet()
+    x = jnp.ones((1, 16, 16, 1))
+    variables = net.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    block_names = [k for k in variables["params"] if k.startswith("ConvBlock")]
+    assert len(block_names) == 3 + 2, block_names
+
+
+def test_unet_differentiable_wrt_params():
+    net = _tiny_unet()
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 16, 16, 1)),
+                    dtype=jnp.float32)
+    variables = net.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+    def loss(v):
+        return jnp.sum(net.apply(v, x, train=False) ** 2)
+
+    g = jax.grad(loss)(variables)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0
+
+
+def test_xavier_init_zero_bias():
+    net = _tiny_unet()
+    x = jnp.ones((1, 16, 16, 1))
+    variables = net.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    biases = [v for p, v in flat if "bias" in str(p)]
+    assert biases and all(float(jnp.abs(b).max()) == 0.0 for b in biases)
