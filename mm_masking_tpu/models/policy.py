@@ -36,6 +36,8 @@ class PolicyOutput(NamedTuple):
     weight_mask: jax.Array  # (B, H, W)
     diff_mean_num_non0: jax.Array  # differentiable point count (scalar)
     stats: Any  # WeightStats
+    mean_all_pts: jax.Array | None = None  # hard count of real scan points / B
+    variable_updates: Any = None  # batch_stats updates when batch_norm trains
 
 
 class LearnICPWeightPolicy:
@@ -118,8 +120,14 @@ class LearnICPWeightPolicy:
 
         x = x.astype(m.jax_dtype)
         rngs = {"dropout": rng} if (train and m.dropout > 0.0) else None
-        mask = self.unet.apply(variables, x, train=train, rngs=rngs)
-        return mask.astype(jnp.float32)
+        updates = None
+        if train and "batch_stats" in variables:
+            mask, updates = self.unet.apply(
+                variables, x, train=train, rngs=rngs, mutable=["batch_stats"]
+            )
+        else:
+            mask = self.unet.apply(variables, x, train=train, rngs=rngs)
+        return mask.astype(jnp.float32), updates
 
     # -- full forward ------------------------------------------------------
     def apply(
@@ -141,8 +149,9 @@ class LearnICPWeightPolicy:
                      'filtered_pc' (B,N,3)}; batch_map: {'pc' (B,M,6)}.
         """
         m = self.cfg.model
+        updates = None
         if override_mask is None:
-            weight_mask = self.compute_mask(
+            weight_mask, updates = self.compute_mask(
                 variables,
                 batch_scan["fft_data"],
                 batch_scan.get("fft_cfar"),
@@ -182,9 +191,18 @@ class LearnICPWeightPolicy:
             cart_pixel_width=m.cart_pixel_width,
         )
 
+        # Hard count of real (non-pad) scan points per batch (`:211-214`),
+        # consumed by the num_pts loss term.
+        raw = batch_scan["raw_pc"]
+        non0 = (raw[..., 0] != 0.0) & (raw[..., 1] != 0.0)
+        mean_all_pts = jnp.sum(non0) / raw.shape[0]
+
         # Training without ICP loss: skip the solver entirely (`:270-271`).
         if train and not self.cfg.use_icp_4_train:
-            return PolicyOutput(T_init, weight_mask, stats.diff_mean_num_non0, stats)
+            return PolicyOutput(
+                T_init, weight_mask, stats.diff_mean_num_non0, stats,
+                mean_all_pts, updates,
+            )
 
         cfg_icp = self._icp_train if train else self._icp_inference
         result = icp(
@@ -195,5 +213,6 @@ class LearnICPWeightPolicy:
             cfg=dataclasses.replace(cfg_icp, dim=2),
         )
         return PolicyOutput(
-            result["T"], weight_mask, stats.diff_mean_num_non0, stats
+            result["T"], weight_mask, stats.diff_mean_num_non0, stats,
+            mean_all_pts, updates,
         )

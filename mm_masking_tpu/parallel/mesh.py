@@ -1,0 +1,45 @@
+"""Device mesh + sharding helpers.
+
+The reference has no distributed training at all (SURVEY.md §2.4) — one GPU,
+bash-level process fan-out for data generation. The TPU-native equivalent is a
+1-D data-parallel mesh: the batch is sharded over the ``data`` axis, parameters
+are replicated, and every cross-sample reduction (gradient sums, the policy's
+batch-global minmax normalization) becomes an XLA collective over ICI inserted
+automatically by GSPMD — the code is written against the *global* batch.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int = -1, axis_name: str = "data") -> Mesh:
+    """1-D mesh over the first ``num_devices`` local devices (-1 = all)."""
+    devices = jax.devices()
+    if num_devices > 0:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) axis; everything else replicated."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Device-put a pytree of (B, …) arrays with the batch axis sharded."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    """Device-put a pytree fully replicated over the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
