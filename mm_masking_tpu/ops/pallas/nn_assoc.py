@@ -103,8 +103,8 @@ def _nn_kernel(p_ref, q_ref, idx_ref, d2_ref, mval, midx, *, tm: int, nk: int):
 
     @pl.when(k == nk - 1)
     def _():
-        idx_ref[0, :] = midx[:, 0]
-        d2_ref[0, :] = mval[:, 0]
+        idx_ref[0, 0, :] = midx[:, 0]
+        d2_ref[0, 0, :] = mval[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("tn", "tm"))
@@ -138,21 +138,23 @@ def nn_argmin_pallas(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tn), lambda b, i, k: (b, i),
+            # (1, 1, tn) blocks of (B, 1, Np) outputs: the singleton sublane dim
+            # equals the array dim, satisfying the (8, 128) tiling rule.
+            pl.BlockSpec((1, 1, tn), lambda b, i, k: (b, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda b, i, k: (b, i),
+            pl.BlockSpec((1, 1, tn), lambda b, i, k: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Np), jnp.int32),
-            jax.ShapeDtypeStruct((B, Np), p.dtype),
+            jax.ShapeDtypeStruct((B, 1, Np), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, Np), p.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((tn, 1), p.dtype),
             pltpu.VMEM((tn, 1), jnp.int32),
         ],
     )(pT, qT)
-    return idx[:, :N], d2[:, :N]
+    return idx[:, 0, :N], d2[:, 0, :N]
 
 
 def nn_argmin(

@@ -32,11 +32,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Device-put a pytree of (B, …) arrays with the batch axis sharded."""
-    sharding = batch_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
-    )
+    """Device-put a pytree of (B, …) arrays with the batch axis sharded.
+
+    Arrays whose leading dimension doesn't divide the mesh (small validation
+    remainders, scalars) are replicated instead — GSPMD still computes the
+    correct global result, just without spreading those arrays.
+    """
+    n = mesh.shape[axis_name]
+    sharded = batch_sharding(mesh, axis_name)
+    repl = replicated(mesh)
+
+    def put(x):
+        shape = getattr(x, "shape", ())
+        if len(shape) > 0 and shape[0] % n == 0:
+            return jax.device_put(x, sharded)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(tree, mesh: Mesh):

@@ -1,0 +1,132 @@
+"""Dataset layer: synthetic on-disk tree → ICPWeightDataset → batches → train."""
+import dataclasses
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mm_masking_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from mm_masking_tpu.data import ICPWeightDataset, epoch_batches
+from mm_masking_tpu.data.testing import write_synthetic_dataset
+from mm_masking_tpu.dicp import TARGET_PAD_VAL
+from mm_masking_tpu.geom import planar_xi_first_order
+from mm_masking_tpu.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("boreas")
+    info = write_synthetic_dataset(str(root), n_frames=4)
+    return str(root), info
+
+
+def make_config(root, info, **data_kw) -> Config:
+    A, R = info["polar_shape"]
+    cart_width = 64
+    return Config(
+        model=ModelConfig(
+            enc_channels=(4, 8),
+            dropout=0.0,
+            res=info["polar_res"],
+            polar_shape=(A, R),
+            cart_pixel_width=cart_width,
+            cart_resolution=2 * 15.0 / cart_width,
+            max_iter=3,
+            inference_max_iter=50,
+        ),
+        data=DataConfig(
+            data_dir=root, pos_std=0.3, rot_std=0.1,
+            max_loc_pts=256, max_map_pts=512, **data_kw,
+        ),
+        train=TrainConfig(batch_size_train=2, batch_size_test=2),
+    )
+
+
+def pairs(info):
+    return [(info["map_seq"], info["loc_seq"])]
+
+
+def test_dataset_loads_and_pads(synth_root):
+    root, info = synth_root
+    cfg = make_config(root, info)
+    ds = ICPWeightDataset(pairs(info), cfg, dataset_type="train")
+    assert len(ds) == 4
+    item = ds[0]
+    raw = item["loc_data"]["raw_pc"]
+    assert raw.shape == (ds.max_loc_pts, 3)
+    mp = item["map_data"]["pc"]
+    assert mp.shape[1] == 6
+    # Map pads carry the target pad value.
+    assert np.all(mp[-1, :3] == TARGET_PAD_VAL) or mp.shape[0] == 400
+    # FFT decoded from the raw Navtech byte layout.
+    fft = item["loc_data"]["fft_data"]
+    assert fft.shape == tuple(info["polar_shape"])
+    assert 0.0 <= fft.min() and fft.max() <= 1.0
+
+
+def test_dataset_gt_alignment_makes_identity_optimal(synth_root):
+    # With gt_eye, the map is pre-aligned into the scan frame: scan points must
+    # lie on the (filtered) map cloud.
+    root, info = synth_root
+    cfg = make_config(root, info, augment=False)
+    ds = ICPWeightDataset(pairs(info), cfg, dataset_type="train")
+    item = ds[1]
+    scan = item["loc_data"]["filtered_pc"]
+    real_scan = scan[~((scan[:, 0] == 0) & (scan[:, 1] == 0))]
+    mp = item["map_data"]["pc"][:, :3]
+    real_map = mp[np.abs(mp[:, 0]) < TARGET_PAD_VAL / 2]
+    d = np.linalg.norm(real_scan[:, None, :2] - real_map[None, :, :2], axis=-1)
+    assert np.median(d.min(axis=1)) < 0.1
+
+
+def test_dataset_determinism_seed99(synth_root):
+    root, info = synth_root
+    cfg = make_config(root, info)
+    a = ICPWeightDataset(pairs(info), cfg, dataset_type="train")
+    b = ICPWeightDataset(pairs(info), cfg, dataset_type="train")
+    np.testing.assert_array_equal(a.T_loc_init[0], b.T_loc_init[0])
+
+
+def test_timestamp_lookup(synth_root):
+    root, info = synth_root
+    cfg = make_config(root, info, augment=False)
+    ds = ICPWeightDataset(pairs(info), cfg, dataset_type="test")
+    item = ds.get_item_from_loc_timestamp(info["loc_stamps"][2])
+    assert item["loc_data"]["timestamp"] == info["loc_stamps"][2]
+
+
+def test_epoch_batches_and_train_step(synth_root):
+    root, info = synth_root
+    cfg = make_config(root, info, augment=True)
+    ds = ICPWeightDataset(pairs(info), cfg, dataset_type="train")
+    batches = list(epoch_batches(ds, 2, cfg, shuffle=True, seed=0))
+    assert len(batches) == 2
+    b = batches[0]
+    # Cartesian conversion happened on device.
+    assert b["loc_data"]["fft_data"].shape == (2, 64, 64)
+
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    state, loss, _ = trainer._train_step(state, b, mask_losses_active=True)
+    assert np.isfinite(float(loss))
+
+
+def test_val_dataset_ones_baseline_reduces_error(synth_root):
+    # End-to-end slice on the on-disk pipeline: unweighted ICP from the
+    # perturbed init must approach identity on the synthetic scene.
+    root, info = synth_root
+    from mm_masking_tpu.config import LossWeights
+
+    cfg = make_config(root, info, augment=False)
+    # Zero the mask-loss weights so generate_baseline picks the all-ones mask
+    # (with mask_pts > 0 it would pick the map-BEV mask, reference `:296-316`).
+    cfg = dataclasses.replace(
+        cfg, loss=LossWeights(icp_rot=1.0, icp_trans=1.0, mask_pts=0.0)
+    )
+    ds = ICPWeightDataset(pairs(info), cfg, dataset_type="test")
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    batches = list(epoch_batches(ds, 2, cfg, shuffle=False, seed=0))
+    init_loss, ones_loss = trainer.generate_baseline(
+        state, batches, baseline_type="val"
+    )
+    assert ones_loss < 0.5 * init_loss, (init_loss, ones_loss)
