@@ -1,0 +1,213 @@
+"""One-time baseline measurement: reference-equivalent PyTorch pipeline.
+
+The reference repo publishes no throughput numbers (BASELINE.md) and its GPU
+stack cannot run here (CUDA torch + the dICP/vtr submodules are absent from
+the snapshot). This script times a PyTorch implementation of the *same*
+computation the reference performs — the documented UNet
+(`icp_weight_policy.py:85-125`, incl. decoder double application), bilinear
+weight lookup (`radar_utils.py:108-140`), and a 10-iteration unrolled
+pt2pt Cauchy ICP with trim (dICP call surface, `icp_weight_policy.py:277-288`)
+— on this host's torch build (CPU), at the same operating shapes as bench.py.
+
+Writes ../bench_baseline.json with provenance. Run once per machine:
+    python benchmarks/reference_torch.py [--quick]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os.path as osp
+import time
+
+import numpy as np
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+class TorchConvBlock(nn.Module):
+    def __init__(self, cin, cout, pool):
+        super().__init__()
+        self.c1 = nn.Conv2d(cin, cout, 3, padding=1)
+        self.c2 = nn.Conv2d(cout, cout, 3, padding=1)
+        self.pool = pool
+        self.drop = nn.Dropout(p=0.05)
+
+    def forward(self, x):
+        x = F.relu(self.c1(x))
+        x = F.relu(self.c2(x))
+        x = self.drop(x)
+        if self.pool:
+            x = F.max_pool2d(x, 2, 2)
+        return x
+
+
+class TorchUNet(nn.Module):
+    """Reference architecture: enc [C,8,...,256], decoder blocks applied twice."""
+
+    def __init__(self, cin=1, enc=(8, 16, 32, 64, 128, 256)):
+        super().__init__()
+        chans = [cin] + list(enc)
+        self.encoder = nn.ModuleList(
+            [TorchConvBlock(chans[i], chans[i + 1], pool=(i > 0))
+             for i in range(len(enc))]
+        )
+        dec = list(reversed(enc))
+        self.decoder = nn.ModuleList(
+            [TorchConvBlock(dec[i], dec[i + 1], pool=False)
+             for i in range(len(dec) - 1)]
+        )
+        self.final = nn.Sequential(nn.Conv2d(dec[-1], 1, 1), nn.Sigmoid())
+
+    def forward(self, x):
+        skips = []
+        for block in self.encoder:
+            skips.append(x)
+            x = block(x)
+        skips = skips[::-1]
+        for i, block in enumerate(self.decoder):
+            skip = skips[i]
+            x = nn.UpsamplingBilinear2d(size=skip.shape[2:])(x)
+            x = block(x)
+            x = torch.cat([skip, x], dim=1)
+            x = block(x)
+        return self.final(x).squeeze(1)
+
+
+def torch_icp(scan, mapp, T_init, weights, iters=10, trim=5.0, k=1.0):
+    """Unrolled batched pt2pt Cauchy ICP, planar DOF (dICP semantics)."""
+    T = T_init
+    B, N, _ = scan.shape
+    for _ in range(iters):
+        p = torch.einsum("bij,bnj->bni", T[:, :3, :3], scan) + T[:, None, :3, 3]
+        d = torch.cdist(p, mapp[..., :3])  # (B, N, M)
+        dmin, idx = d.min(dim=2)
+        q = torch.gather(mapp[..., :3], 1, idx.unsqueeze(-1).expand(-1, -1, 3))
+        r = p - q
+        w = 1.0 / (1.0 + (dmin / k) ** 2)
+        w = w * (dmin < trim) * weights
+        # Planar GN (x, y, yaw).
+        Jr = torch.stack([-p[..., 1], p[..., 0]], dim=-1)  # d r / d yaw (2D)
+        ones = torch.ones_like(w)
+        zeros = torch.zeros_like(w)
+        # A (3x3), b (3,)
+        A = torch.zeros(B, 3, 3)
+        b = torch.zeros(B, 3)
+        Jx = torch.stack([ones, zeros, Jr[..., 0]], dim=-1)
+        Jy = torch.stack([zeros, ones, Jr[..., 1]], dim=-1)
+        A = torch.einsum("bni,bnj,bn->bij", Jx, Jx, w) + torch.einsum(
+            "bni,bnj,bn->bij", Jy, Jy, w
+        )
+        b = -(torch.einsum("bni,bn,bn->bi", Jx, r[..., 0], w)
+              + torch.einsum("bni,bn,bn->bi", Jy, r[..., 1], w))
+        delta = torch.linalg.solve(A + 1e-9 * torch.eye(3), b)
+        dx, dy, dth = delta[:, 0], delta[:, 1], delta[:, 2]
+        c, s = torch.cos(dth), torch.sin(dth)
+        Td = torch.zeros_like(T)
+        Td[:, 0, 0] = c
+        Td[:, 0, 1] = -s
+        Td[:, 1, 0] = s
+        Td[:, 1, 1] = c
+        Td[:, 2, 2] = 1.0
+        Td[:, 3, 3] = 1.0
+        Td[:, 0, 3] = dx
+        Td[:, 1, 3] = dy
+        T = Td @ T
+    return T
+
+
+def extract_weights_torch(mask, pc, cart_res=0.2384, width=640):
+    u = -pc[:, :, 0] / cart_res
+    v = pc[:, :, 1] / cart_res
+    grid = torch.stack((v, u), dim=2) / (width - 1) * 2
+    out = F.grid_sample(mask.unsqueeze(1), grid.unsqueeze(2), mode="bilinear",
+                        padding_mode="zeros", align_corners=True)
+    return out.squeeze(1).squeeze(-1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--batch-train", type=int, default=2)
+    ap.add_argument("--batch-eval", type=int, default=2)
+    args = ap.parse_args()
+
+    torch.manual_seed(0)
+    n_scan, n_map, width = 2048, 8192, 640
+    bt, be = args.batch_train, args.batch_eval
+
+    net = TorchUNet()
+    opt = torch.optim.Adam(net.parameters(), lr=1e-4)
+
+    def make(B):
+        return (
+            torch.rand(B, 1, width, width),
+            torch.randn(B, n_scan, 3) * 20,
+            torch.randn(B, n_map, 3) * 20,
+            torch.eye(4).expand(B, 4, 4).clone(),
+        )
+
+    # --- train step: UNet fwd -> weights -> 10-iter ICP -> loss -> backward
+    img, scan, mapp, T0 = make(bt)
+    def train_step():
+        opt.zero_grad()
+        mask = net(img)
+        w = extract_weights_torch(mask, scan)
+        T = torch_icp(scan, mapp, T0, w, iters=10)
+        xi = T - torch.eye(4)
+        loss = xi[:, 0:2, 3].norm(dim=1).mean() + xi[:, 1, 0].abs().mean()
+        loss = loss + F.binary_cross_entropy(mask, (img.squeeze(1) > 0.5).float())
+        loss.backward()
+        opt.step()
+
+    # --- eval step: UNet fwd -> weights -> 50-iter ICP (no grad)
+    img_e, scan_e, map_e, T0_e = make(be)
+    def eval_step():
+        with torch.no_grad():
+            mask = net(img_e)
+            w = extract_weights_torch(mask, scan_e)
+            torch_icp(scan_e, map_e, T0_e, w, iters=50)
+
+    iters = 1 if args.quick else 2
+    train_step()  # warmup/alloc
+    tic = time.perf_counter()
+    for _ in range(iters):
+        train_step()
+    t_train = (time.perf_counter() - tic) / iters
+
+    eval_step()
+    tic = time.perf_counter()
+    for _ in range(iters):
+        eval_step()
+    t_eval = (time.perf_counter() - tic) / iters
+
+    train_sps = bt / t_train
+    eval_sps = be / t_eval
+    combined = 2.0 / (1.0 / train_sps + 1.0 / eval_sps)
+    out = {
+        "combined_scan_pairs_per_sec": round(combined, 4),
+        "train_scan_pairs_per_sec": round(train_sps, 4),
+        "eval_scan_pairs_per_sec": round(eval_sps, 4),
+        "train_step_s": round(t_train, 3),
+        "eval_step_s": round(t_eval, 3),
+        "batch_train": bt,
+        "batch_eval": be,
+        "provenance": (
+            "reference-equivalent PyTorch pipeline (documented UNet with "
+            "decoder double-application, grid_sample weight lookup, unrolled "
+            "pt2pt Cauchy trim ICP per dICP call surface) on this host's "
+            f"torch {torch.__version__} build, device=cpu, "
+            f"threads={torch.get_num_threads()}; shapes: cart 640, "
+            f"n_scan {n_scan}, n_map {n_map}. The reference repo publishes no "
+            "throughput numbers (BASELINE.md) and its CUDA/dICP stack is not "
+            "runnable in this image."
+        ),
+    }
+    path = osp.join(osp.dirname(__file__), "..", "bench_baseline.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

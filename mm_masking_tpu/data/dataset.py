@@ -55,6 +55,10 @@ def _decode_radar_file(path: str):
 
 
 def _imread_gray(path: str) -> np.ndarray:
+    from mm_masking_tpu.data import native
+
+    if native.available():
+        return native.png_decode_gray8(open(path, "rb").read())
     try:
         import cv2  # type: ignore
 
@@ -67,8 +71,8 @@ def _imread_gray(path: str) -> np.ndarray:
         return np.asarray(Image.open(path).convert("L"))
     except ImportError as e:
         raise RuntimeError(
-            "no PNG decoder available (cv2/PIL); pre-decode radar scans to "
-            ".npy with the converter"
+            "no PNG decoder available (build native/libfastload.so or install "
+            "cv2/PIL, or pre-decode radar scans to .npy with the converter)"
         ) from e
 
 

@@ -1,0 +1,114 @@
+"""Training entry point: `python -m mm_masking_tpu.train.train_icp_weights`.
+
+Mirrors `main()` of `/root/reference/mm_masking/train_icp_weights.py:346-587`
+(which hard-codes its params dict and never wires its argparse import); here
+every config field is CLI-overridable as `--section.field value`, plus
+`--synthetic` to run the full loop on generated data when the Boreas pose
+graphs aren't mounted.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from mm_masking_tpu.config import (
+    Config,
+    DataConfig,
+    LossWeights,
+    ModelConfig,
+    TrainConfig,
+)
+
+
+def _apply_overrides(cfg: Config, overrides: list[str]) -> Config:
+    sections = {
+        "model": cfg.model,
+        "data": cfg.data,
+        "train": cfg.train,
+        "loss": cfg.loss,
+    }
+    updates: dict[str, dict] = {k: {} for k in sections}
+    for item in overrides:
+        key, _, val = item.partition("=")
+        section, _, field = key.strip("-").partition(".")
+        if section not in sections:
+            raise SystemExit(f"unknown config section '{section}' in {item}")
+        current = getattr(sections[section], field)
+        if isinstance(current, bool):
+            parsed = val.lower() in ("1", "true", "yes")
+        elif isinstance(current, int):
+            parsed = int(val)
+        elif isinstance(current, float):
+            parsed = float(val)
+        elif isinstance(current, tuple):
+            parsed = tuple(int(x) for x in val.split(","))
+        else:
+            parsed = val
+        updates[section][field] = parsed
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, **updates["model"]),
+        data=dataclasses.replace(cfg.data, **updates["data"]),
+        train=dataclasses.replace(cfg.train, **updates["train"]),
+        loss=dataclasses.replace(cfg.loss, **updates["loss"]),
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="train on generated data (no Boreas tree needed)")
+    ap.add_argument("--synthetic-frames", type=int, default=64)
+    ap.add_argument("--set", action="append", default=[], metavar="SEC.FIELD=V",
+                    help="config override, e.g. --set train.num_epochs=5")
+    args = ap.parse_args(argv)
+
+    cfg = _apply_overrides(Config(), args.set)
+
+    from mm_masking_tpu.train.trainer import Trainer
+
+    trainer = Trainer(cfg)
+
+    if args.synthetic:
+        from mm_masking_tpu.data.synthetic import SyntheticSpec, synthetic_batch
+
+        spec = SyntheticSpec(
+            n_scan=cfg.data.max_loc_pts, n_map=cfg.data.max_map_pts,
+            polar_shape=cfg.model.polar_shape,
+            cart_pixel_width=cfg.model.cart_pixel_width,
+            res=cfg.model.res, cart_resolution=cfg.model.cart_resolution,
+            pos_std=cfg.data.pos_std, rot_std=cfg.data.rot_std,
+            network_input_type=cfg.model.network_input_type,
+        )
+        bt = cfg.train.batch_size_train
+        bv = cfg.train.batch_size_test
+        n_train = max(1, args.synthetic_frames // bt)
+
+        def train_batches(epoch):
+            return (synthetic_batch(1000 * epoch + i, batch=bt, spec=spec)
+                    for i in range(n_train))
+
+        def val_batches():
+            return (synthetic_batch(10_000_000 + i, batch=bv, spec=spec)
+                    for i in range(2))
+    else:
+        from mm_masking_tpu.data import ICPWeightDataset, epoch_batches
+
+        train_ds = ICPWeightDataset(list(cfg.train_loc_pairs), cfg, "train")
+        val_ds = ICPWeightDataset(list(cfg.val_loc_pairs), cfg, "test")
+        print(f"train samples: {len(train_ds)}, val samples: {len(val_ds)}")
+
+        def train_batches(epoch):
+            return epoch_batches(train_ds, cfg.train.batch_size_train, cfg,
+                                 shuffle=cfg.train.shuffle, seed=epoch)
+
+        def val_batches():
+            return epoch_batches(val_ds, cfg.train.batch_size_test, cfg,
+                                 shuffle=False, drop_last=False)
+
+    trainer.fit(train_batches, val_batches)
+
+
+if __name__ == "__main__":
+    main()
