@@ -1,0 +1,125 @@
+"""Ground-truth extraction & trajectory evaluation tools.
+
+Replaces the reference's offline GT scripts (`utils/extract_loc_gt_v2.py`,
+`extract_loc_gt.py`, `extract_odo_gt.py` — SURVEY.md §2.1): align estimated
+localization trajectories with Applanix ground truth, check timestamp
+consistency, emit aligned GT files, and compute per-sequence error statistics.
+
+Trajectory file format (pyboreas `read_traj_file2` convention): one row per
+frame, ``timestamp_us`` followed by the 12 row-major entries of the 3×4 top of
+``T_enu_sensor``.
+"""
+from __future__ import annotations
+
+import os
+import os.path as osp
+
+import numpy as np
+
+from mm_masking_tpu.data.boreas import (
+    get_closest_index,
+    get_inverse_tf,
+    read_traj_file_gt2,
+)
+
+
+def read_traj_file(path: str):
+    """(poses list of (4,4), times list of int µs) from a trajectory file."""
+    poses, times = [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split()
+            if len(parts) == 1:
+                parts = line.strip().split(",")
+            if len(parts) < 13:
+                continue
+            times.append(int(float(parts[0])))
+            T = np.eye(4)
+            T[:3, :4] = np.asarray([float(x) for x in parts[1:13]]).reshape(3, 4)
+            poses.append(T)
+    return poses, times
+
+
+def write_traj_file(path: str, poses, times) -> None:
+    os.makedirs(osp.dirname(osp.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        for T, t in zip(poses, times):
+            row = " ".join(f"{v:.9f}" for v in np.asarray(T)[:3, :4].ravel())
+            f.write(f"{int(t)} {row}\n")
+
+
+def check_time_match(times_a, times_b, tol_us: int = 0) -> bool:
+    """Reference `extract_loc_gt_v2.py:130-140`: every estimated timestamp must
+    have a GT partner within tolerance."""
+    times_b = np.asarray(times_b, np.int64)
+    for t in times_a:
+        i = get_closest_index(t, times_b)
+        if abs(int(times_b[i]) - int(t)) > tol_us:
+            return False
+    return True
+
+
+def align_gt_to_traj(traj_times, gt_poses, gt_times, tol_us: int = 1000):
+    """For each trajectory timestamp, the closest-in-time GT pose.
+
+    Returns (poses, times); raises if any match exceeds ``tol_us``.
+    """
+    gt_times_arr = np.asarray(gt_times, np.int64)
+    out_poses, out_times = [], []
+    for t in traj_times:
+        i = get_closest_index(t, gt_times_arr)
+        if abs(int(gt_times_arr[i]) - int(t)) > tol_us:
+            raise ValueError(f"no GT within {tol_us}us of {t}")
+        out_poses.append(gt_poses[i])
+        out_times.append(int(gt_times_arr[i]))
+    return out_poses, out_times
+
+
+def relative_loc_errors(est_T_loc_map, gt_T_loc_map):
+    """Planar (rot, trans) error per frame between estimated and GT relative
+    localization transforms (the canonical reference metric)."""
+    rots, trans = [], []
+    for Te, Tg in zip(est_T_loc_map, gt_T_loc_map):
+        D = Te @ get_inverse_tf(Tg)
+        rots.append(abs(float(np.arcsin(np.clip(D[1, 0], -1.0, 1.0)))))
+        trans.append(float(np.linalg.norm(D[:2, 3])))
+    return np.asarray(rots), np.asarray(trans)
+
+
+def eval_localization_run(
+    est_path: str,
+    map_gt_csv: str,
+    loc_gt_csv: str,
+    out_gt_path: str | None = None,
+    tol_us: int = 1000,
+) -> dict:
+    """End-to-end: read an estimated trajectory (`T_loc_map` per frame in the
+    map-sensor frame), align GT from the Applanix CSVs, optionally write the
+    aligned GT file, and return error statistics.
+
+    Mirrors `extract_loc_gt_v2.eval_local` (`utils/extract_loc_gt_v2.py:147`).
+    """
+    est_poses, est_times = read_traj_file(est_path)
+    map_gt_poses, map_gt_times = read_traj_file_gt2(map_gt_csv, dim=2)
+    loc_gt_poses, loc_gt_times = read_traj_file_gt2(loc_gt_csv, dim=2)
+
+    loc_aligned, times = align_gt_to_traj(est_times, loc_gt_poses,
+                                          loc_gt_times, tol_us)
+    # GT relative transform: T_loc_map = inv(T_enu_loc) @ T_enu_map(closest).
+    gt_rel = []
+    map_times_arr = np.asarray(map_gt_times, np.int64)
+    for T_enu_loc, t in zip(loc_aligned, times):
+        i = get_closest_index(t, map_times_arr)
+        gt_rel.append(get_inverse_tf(T_enu_loc) @ map_gt_poses[i])
+
+    if out_gt_path is not None:
+        write_traj_file(out_gt_path, gt_rel, times)
+
+    rot, trans = relative_loc_errors(est_poses, gt_rel)
+    return {
+        "n_frames": int(len(est_poses)),
+        "rot_mean": float(rot.mean()),
+        "rot_rmse": float(np.sqrt((rot**2).mean())),
+        "trans_mean": float(trans.mean()),
+        "trans_rmse": float(np.sqrt((trans**2).mean())),
+    }

@@ -1,0 +1,73 @@
+"""GT-extraction tools: trajectory roundtrip, alignment, error stats."""
+import numpy as np
+
+from mm_masking_tpu.data.boreas import yawPitchRollToRot, get_inverse_tf
+from mm_masking_tpu.evaluation.gt_tools import (
+    align_gt_to_traj,
+    check_time_match,
+    eval_localization_run,
+    read_traj_file,
+    write_traj_file,
+)
+
+
+def make_T(x, y, h):
+    T = np.eye(4)
+    T[:3, :3] = yawPitchRollToRot(h, 0, 0)
+    T[:3, 3] = [x, y, 0]
+    return T
+
+
+def test_traj_roundtrip(tmp_path):
+    poses = [make_T(1.0, 2.0, 0.3), make_T(-1.0, 0.5, -0.2)]
+    times = [1_000_000, 1_100_000]
+    p = str(tmp_path / "traj.txt")
+    write_traj_file(p, poses, times)
+    poses2, times2 = read_traj_file(p)
+    assert times2 == times
+    np.testing.assert_allclose(poses2[0], poses[0], atol=1e-8)
+
+
+def test_time_match_and_alignment():
+    gt_times = [1000, 2000, 3000]
+    gt_poses = [make_T(i, 0, 0) for i in range(3)]
+    assert check_time_match([1000, 3000], gt_times)
+    assert not check_time_match([1500], gt_times)
+    poses, times = align_gt_to_traj([2000, 1000], gt_poses, gt_times, tol_us=0)
+    assert times == [2000, 1000]
+    np.testing.assert_allclose(poses[0], gt_poses[1])
+
+
+def test_eval_localization_run(tmp_path):
+    # Build GT CSVs + a perfect estimated trajectory; errors must be ~0.
+    def write_csv(path, rows):
+        with open(path, "w") as f:
+            f.write("GPSTime,easting,northing,altitude,ve,vn,vu,"
+                    "roll,pitch,heading\n")
+            for t_us, x, y, h in rows:
+                f.write(f"{t_us/1e6:.6f},{x},{y},0,0,0,0,0,0,{h}\n")
+
+    map_csv = str(tmp_path / "map.csv")
+    loc_csv = str(tmp_path / "loc.csv")
+    write_csv(map_csv, [(500_000, 5.0, 3.0, 0.1)])
+    loc_rows = [(1_000_000 + 100_000 * i, 5.0 + 0.3 * i, 3.0, 0.1 + 0.02 * i)
+                for i in range(4)]
+    write_csv(loc_csv, loc_rows)
+
+    T_enu_map = make_T(5.0, 3.0, 0.1)
+    est_poses, est_times = [], []
+    for t_us, x, y, h in loc_rows:
+        T_enu_loc = make_T(x, y, h)
+        est_poses.append(get_inverse_tf(T_enu_loc) @ T_enu_map)
+        est_times.append(t_us)
+    est_path = str(tmp_path / "est.txt")
+    write_traj_file(est_path, est_poses, est_times)
+
+    stats = eval_localization_run(est_path, map_csv, loc_csv,
+                                  out_gt_path=str(tmp_path / "gt_out.txt"))
+    assert stats["n_frames"] == 4
+    assert stats["rot_rmse"] < 1e-6
+    assert stats["trans_rmse"] < 1e-6
+    # Aligned GT file written and readable.
+    poses, times = read_traj_file(str(tmp_path / "gt_out.txt"))
+    assert len(poses) == 4
