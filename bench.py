@@ -20,13 +20,23 @@ import jax
 import jax.numpy as jnp
 
 
+def _force(out):
+    """Force completion with a scalar host readback.
+
+    `block_until_ready` on the tunneled `axon` platform returns before remote
+    execution finishes; pulling a value derived from the outputs is the only
+    honest completion barrier.
+    """
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def time_fn(fn, *args, iters=8, warmup=2):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
     tic = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        _force(fn(*args))
     return (time.perf_counter() - tic) / iters
 
 

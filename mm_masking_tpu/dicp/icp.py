@@ -158,7 +158,7 @@ def _gn_step(
         A_sub = A[:, sel][:, :, sel]
         b_sub = b[:, sel]
         A_sub = A_sub + cfg.damping * jnp.eye(3, dtype=A.dtype)
-        d_sub = jnp.linalg.solve(A_sub, b_sub[..., None])[..., 0]
+        d_sub = _solve3x3(A_sub, b_sub)
         delta = jnp.zeros((B, 6), A.dtype)
         delta = delta.at[:, sel].set(d_sub)
     else:
@@ -167,6 +167,33 @@ def _gn_step(
 
     T_new = jnp.matmul(se3_exp(delta), T, precision="highest")
     return T_new, delta
+
+
+def _solve3x3(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Closed-form (adjugate/Cramer) solve of batched 3x3 systems.
+
+    `jnp.linalg.solve` lowers to a general LU factorization — needless weight
+    for the damped, symmetric 3x3 normal equations in the planar GN step; the
+    cofactor form is a handful of fused VPU ops and fully differentiable.
+    """
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a02 * a21 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c10 = a12 * a20 - a10 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a02 * a10 - a00 * a12
+    c20 = a10 * a21 - a11 * a20
+    c21 = a01 * a20 - a00 * a21
+    c22 = a00 * a11 - a01 * a10
+    det = a00 * c00 + a01 * c10 + a02 * c20
+    inv_det = 1.0 / det
+    x0 = (c00 * b[..., 0] + c01 * b[..., 1] + c02 * b[..., 2]) * inv_det
+    x1 = (c10 * b[..., 0] + c11 * b[..., 1] + c12 * b[..., 2]) * inv_det
+    x2 = (c20 * b[..., 0] + c21 * b[..., 1] + c22 * b[..., 2]) * inv_det
+    return jnp.stack([x0, x1, x2], axis=-1)
 
 
 def _hat(p: jax.Array) -> jax.Array:

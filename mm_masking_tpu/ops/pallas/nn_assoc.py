@@ -73,6 +73,16 @@ def nn_argmin_blocked(
 
 
 def _nn_kernel(p_ref, q_ref, idx_ref, d2_ref, mval, midx, *, tm: int, nk: int):
+    """(TN, TM) distance tile on the VPU, transpose-free.
+
+    Layouts are chosen so no relayout happens in the body: p is (TN, 8) with
+    coordinates on lanes — a column slice ``p_ref[0][:, c:c+1]`` is (TN, 1)
+    and broadcasts against q's (1, TM) row slices directly. The exact
+    ``(p − q)^2`` subtraction form is also numerically superior to the
+    |p|² − 2p·q + |q|² matmul expansion: an MXU formulation needs
+    precision=HIGHEST to avoid bf16 operand rounding (measured: tens of m²
+    distance error, 40% wrong correspondences) and is K=8-starved anyway.
+    """
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -80,19 +90,12 @@ def _nn_kernel(p_ref, q_ref, idx_ref, d2_ref, mval, midx, *, tm: int, nk: int):
         mval[:] = jnp.full_like(mval[:], jnp.inf)
         midx[:] = jnp.zeros_like(midx[:])
 
-    # p_ref: (1, 8, TN) coord-major (xyz padded to 8 sublanes); q_ref: (1, 8, TM).
-    px = p_ref[0, 0:1, :]  # (1, TN)
-    py = p_ref[0, 1:2, :]
-    pz = p_ref[0, 2:3, :]
-    qx = q_ref[0, 0:1, :]  # (1, TM)
-    qy = q_ref[0, 1:2, :]
-    qz = q_ref[0, 2:3, :]
-
-    # (TN, TM) distance tile via broadcasting on the VPU.
-    dx = px.T - qx
-    dy = py.T - qy
-    dz = pz.T - qz
-    d = dx * dx + dy * dy + dz * dz
+    p = p_ref[0]  # (TN, 8): [x y z · · · · ·]
+    q = q_ref[0]  # (8, TM): rows x, y, z
+    dx = p[:, 0:1] - q[0:1, :]
+    dy = p[:, 1:2] - q[1:2, :]
+    dz = p[:, 2:3] - q[2:3, :]
+    d = dx * dx + dy * dy + dz * dz  # (TN, TM)
 
     local_min = jnp.min(d, axis=1, keepdims=True)  # (TN, 1)
     local_arg = jnp.argmin(d, axis=1).reshape(-1, 1).astype(jnp.int32) + k * tm
@@ -107,32 +110,34 @@ def _nn_kernel(p_ref, q_ref, idx_ref, d2_ref, mval, midx, *, tm: int, nk: int):
         d2_ref[0, 0, :] = mval[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("tn", "tm"))
+@functools.partial(jax.jit, static_argnames=("tn", "tm", "interpret"))
 def nn_argmin_pallas(
-    p: jax.Array, q: jax.Array, tn: int = 512, tm: int = 2048
+    p: jax.Array, q: jax.Array, tn: int = 512, tm: int = 2048,
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Pallas-TPU tiled NN argmin. p: (B, N, 3), q: (B, M, 3)."""
     B, N, _ = p.shape
     M = q.shape[1]
     n_pad = -N % tn
     m_pad = -M % tm
-    pT = jnp.moveaxis(p, -1, -2)  # (B, 3, N)
-    qT = jnp.moveaxis(q, -1, -2)
-    # Pad coords to 8 sublanes; pad map with far sentinels so they never win.
-    pT = jnp.pad(pT, ((0, 0), (0, 5), (0, n_pad)))
-    qT = jnp.pad(qT, ((0, 0), (0, 5), (0, 0)))
+
+    # p stays point-major (N, 8) — coords on lanes; q goes coord-major (8, M).
+    P = jnp.pad(p, ((0, 0), (0, n_pad), (0, 5)))  # (B, Np, 8)
     if m_pad:
-        qT = jnp.concatenate(
-            [qT, jnp.full((B, 8, m_pad), 1e30, qT.dtype)], axis=2
+        # Far sentinels so pads never win the argmin.
+        q = jnp.concatenate(
+            [q, jnp.full((B, m_pad, 3), 1e30, q.dtype)], axis=1
         )
-    Np, Mp = pT.shape[2], qT.shape[2]
+    QT = jnp.pad(jnp.swapaxes(q, -1, -2), ((0, 0), (0, 5), (0, 0)))  # (B, 8, Mp)
+
+    Np, Mp = P.shape[1], QT.shape[2]
     nk = Mp // tm
 
     idx, d2 = pl.pallas_call(
         functools.partial(_nn_kernel, tm=tm, nk=nk),
         grid=(B, Np // tn, nk),
         in_specs=[
-            pl.BlockSpec((1, 8, tn), lambda b, i, k: (b, 0, i),
+            pl.BlockSpec((1, tn, 8), lambda b, i, k: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, tm), lambda b, i, k: (b, 0, k),
                          memory_space=pltpu.VMEM),
@@ -153,7 +158,8 @@ def nn_argmin_pallas(
             pltpu.VMEM((tn, 1), p.dtype),
             pltpu.VMEM((tn, 1), jnp.int32),
         ],
-    )(pT, qT)
+        interpret=interpret,
+    )(P, QT)
     return idx[:, 0, :N], d2[:, 0, :N]
 
 

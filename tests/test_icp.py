@@ -136,3 +136,16 @@ def test_target_pads_never_selected():
     src, tgt = make_scene(seed=13, B=1, N=64, M=128, n_pad_map=40)
     idx, _ = nn_argmin_blocked(src, tgt[..., :3], chunk=32)
     assert int(jnp.max(idx)) < 128 - 40
+
+
+def test_nn_pallas_interpret_matches_blocked():
+    # Interpreter-mode run of the Pallas kernel (CPU) against the blocked path.
+    from mm_masking_tpu.ops.pallas.nn_assoc import nn_argmin_pallas
+
+    rng = np.random.default_rng(21)
+    p = jnp.asarray(rng.uniform(-30, 30, (2, 160, 3)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(-30, 30, (2, 300, 3)).astype(np.float32))
+    idx_i, d2_i = nn_argmin_pallas(p, q, tn=128, tm=256, interpret=True)
+    idx_b, d2_b = nn_argmin_blocked(p, q, chunk=128)
+    assert (np.asarray(idx_i) == np.asarray(idx_b)).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(d2_i), np.asarray(d2_b), atol=1e-2)
