@@ -23,6 +23,12 @@ from mm_masking_tpu.ops.weights import (
     extract_bev_from_pts,
     WeightStats,
 )
+from mm_masking_tpu.ops.preprocessing import (
+    knn_indices,
+    estimate_normals,
+    voxel_downsample,
+)
+from mm_masking_tpu.ops.detectors import detect, DETECTORS, doppler_shift
 
 __all__ = [
     "grid_sample_2d",
@@ -45,4 +51,10 @@ __all__ = [
     "extract_weights",
     "extract_bev_from_pts",
     "WeightStats",
+    "knn_indices",
+    "estimate_normals",
+    "voxel_downsample",
+    "detect",
+    "DETECTORS",
+    "doppler_shift",
 ]

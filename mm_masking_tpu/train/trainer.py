@@ -256,6 +256,22 @@ class Trainer:
                 loss_ones_hist.append(float(lo[0]))
         return float(np.mean(loss_init_hist)), float(np.mean(loss_ones_hist))
 
+    # ---------------------------------------------------------------- resume
+    def resume(self, state: TrainState | None = None) -> TrainState:
+        """Restore the latest epoch checkpoint (deterministic resume —
+        capability the reference lacks: its checkpoints held weights only)."""
+        from mm_masking_tpu.train.checkpoint import latest_epoch
+
+        template = state if state is not None else self.init_state()
+        n = latest_epoch(self.cfg.train.checkpoint_dir)
+        if n is None:
+            return template
+        restored = restore_checkpoint(
+            self.cfg.train.checkpoint_dir, f"epoch_{n}", template
+        )
+        self.logger.log("resume", {"epoch": int(restored.epoch)})
+        return restored
+
     # ------------------------------------------------------------------- fit
     def fit(
         self,
