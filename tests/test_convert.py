@@ -1,0 +1,166 @@
+"""ROS-free converter: CDR encode (test oracle) → parse roundtrip, and a full
+rosbag2-sqlite → shard conversion."""
+import os
+import sqlite3
+import struct
+
+import numpy as np
+
+from mm_masking_tpu.data.convert import (
+    CdrReader,
+    Rosbag2Reader,
+    convert_graph,
+    parse_pointcloud2,
+    parse_vtr_pointcloud_msg,
+    se3_exp_np,
+)
+
+
+class CdrWriter:
+    """Minimal XCDR1 little-endian encoder (test oracle for the reader)."""
+
+    def __init__(self):
+        self.buf = bytearray(b"\x00\x01\x00\x00")  # CDR_LE encapsulation
+
+    def _align(self, size):
+        off = (len(self.buf) - 4) % size
+        if off:
+            self.buf += b"\x00" * (size - off)
+
+    def u8(self, v): self.buf += struct.pack("<B", v)
+    def u16(self, v): self._align(2); self.buf += struct.pack("<H", v)
+    def u32(self, v): self._align(4); self.buf += struct.pack("<I", v)
+    def i32(self, v): self._align(4); self.buf += struct.pack("<i", v)
+    def f64(self, v): self._align(8); self.buf += struct.pack("<d", v)
+
+    def string(self, s):
+        b = s.encode() + b"\x00"
+        self.u32(len(b))
+        self.buf += b
+
+    def bytes_seq(self, b):
+        self.u32(len(b))
+        self.buf += b
+
+    def f64_array(self, arr):
+        self._align(8)
+        self.buf += np.asarray(arr, "<f8").tobytes()
+
+
+def encode_vtr_pointcloud(points: np.ndarray, xi: np.ndarray,
+                          stamp_ns: int) -> bytes:
+    """Encode the VTR pointcloud message: PointCloud2(x..normal_z) + xi[6]."""
+    w = CdrWriter()
+    # Header: stamp + frame_id
+    w.i32(stamp_ns // 1_000_000_000)
+    w.u32(stamp_ns % 1_000_000_000)
+    w.string("radar")
+    n = points.shape[0]
+    w.u32(1)  # height
+    w.u32(n)  # width
+    names = ["x", "y", "z", "normal_x", "normal_y", "normal_z"]
+    w.u32(len(names))
+    for i, name in enumerate(names):
+        w.string(name)
+        w.u32(4 * i)  # offset
+        w.u8(7)  # FLOAT32
+        w.u32(1)  # count
+    w.u8(0)  # is_bigendian
+    w.u32(24)  # point_step
+    w.u32(24 * n)  # row_step
+    w.bytes_seq(points.astype("<f4").tobytes())
+    w.u8(1)  # is_dense
+    w.f64_array(xi)
+    return bytes(w.buf)
+
+
+def test_cdr_primitives_alignment():
+    w = CdrWriter()
+    w.u8(7)
+    w.u32(123456)  # forces 3-byte alignment pad
+    w.f64(3.5)
+    w.string("hello")
+    r = CdrReader(bytes(w.buf))
+    assert r.uint8() == 7
+    assert r.uint32() == 123456
+    assert r.float64() == 3.5
+    assert r.string() == "hello"
+
+
+def test_pointcloud2_roundtrip():
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(50, 6)).astype(np.float32)
+    xi = rng.normal(size=6)
+    blob = encode_vtr_pointcloud(pts, xi, stamp_ns=1_234_567_890_123)
+    out = parse_vtr_pointcloud_msg(blob)
+    np.testing.assert_allclose(out["points"], pts, atol=1e-7)
+    np.testing.assert_allclose(out["xi"], xi, atol=1e-12)
+    assert out["stamp"] == 1_234_567_890_123
+
+
+def make_bag(path, topic_msgs):
+    conn = sqlite3.connect(path)
+    c = conn.cursor()
+    c.execute("CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, "
+              "type TEXT, serialization_format TEXT, "
+              "offered_qos_profiles TEXT)")
+    c.execute("CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER,"
+              " timestamp INTEGER, data BLOB)")
+    for tid, (name, msgs) in enumerate(topic_msgs.items(), start=1):
+        c.execute("INSERT INTO topics VALUES (?,?,?,?,?)",
+                  (tid, name, "vtr_msgs/msg/PointCloudMsg", "cdr", ""))
+        for k, (ts, blob) in enumerate(msgs):
+            c.execute("INSERT INTO messages VALUES (?,?,?,?)",
+                      (None, tid, ts, blob))
+    conn.commit()
+    conn.close()
+
+
+def test_convert_graph_end_to_end(tmp_path):
+    rng = np.random.default_rng(1)
+    graph_dir = tmp_path / "graph"
+    out_dir = tmp_path / "shards"
+    os.makedirs(graph_dir)
+
+    xi_map = np.array([1.0, -0.5, 0.0, 0.0, 0.0, 0.3])
+    map_pts = rng.normal(size=(80, 6)).astype(np.float32)
+    frames = []
+    for i in range(3):
+        stamp_ns = (1_000_000 + i * 100_000) * 1000  # µs→ns (loc_stamp µs)
+        pts = rng.normal(size=(40 + i, 6)).astype(np.float32)
+        frames.append((stamp_ns, pts))
+
+    topic_msgs = {
+        "/vtr/radar_raw_point_cloud": [
+            (ns, encode_vtr_pointcloud(p, np.zeros(6), ns)) for ns, p in frames
+        ],
+        "/vtr/radar_filtered_point_cloud": [
+            (ns, encode_vtr_pointcloud(p, np.zeros(6), ns)) for ns, p in frames
+        ],
+        "/vtr/pointmap": [
+            (frames[0][0], encode_vtr_pointcloud(map_pts, xi_map, 500_000_000))
+        ],
+    }
+    make_bag(str(graph_dir / "graph_0.db3"), topic_msgs)
+
+    index = convert_graph(str(graph_dir), str(out_dir), msg_prefix="radar_")
+    assert len(index["frames"]) == 3
+    assert index["max_loc"] == 42
+    shard = np.load(out_dir / index["frames"][0])
+    np.testing.assert_allclose(shard["raw_pc"], frames[0][1][:, :3], atol=1e-7)
+    # Map points must be transformed into the map-vertex frame by exp(xi).
+    T = se3_exp_np(xi_map)
+    want = map_pts[:, :3] @ T[:3, :3].T + T[:3, 3]
+    np.testing.assert_allclose(shard["map_pc"][:, :3], want, atol=1e-5)
+    assert int(shard["loc_stamp"]) == 1_000_000
+
+
+def test_rosbag_reader(tmp_path):
+    blob = encode_vtr_pointcloud(np.zeros((3, 6), np.float32), np.zeros(6), 42)
+    make_bag(str(tmp_path / "b.db3"), {"/t": [(7, blob)]})
+    r = Rosbag2Reader(str(tmp_path / "b.db3"))
+    assert r.topics() == ["/t"]
+    msgs = list(r.messages("/t"))
+    assert msgs[0][0] == 7
+    out = parse_pointcloud2(CdrReader(msgs[0][1]))
+    assert out["points"].shape[0] == 3
