@@ -1,0 +1,13 @@
+from mm_masking_tpu.localization.pipeline import (
+    LocalizationConfig,
+    localize_frame,
+    localize_sequence,
+    project_map,
+)
+
+__all__ = [
+    "LocalizationConfig",
+    "localize_frame",
+    "localize_sequence",
+    "project_map",
+]
