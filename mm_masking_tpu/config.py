@@ -137,3 +137,68 @@ class Config:
     def use_icp_4_train(self) -> bool:
         # Reference `icp_weight_policy.py:48-51`.
         return self.loss.icp_rot > 0.0 and self.loss.icp_trans > 0.0
+
+    @staticmethod
+    def from_reference_params(params: dict, **extra) -> "Config":
+        """Build a Config from the reference's ``params`` dict
+        (`train_icp_weights.py:354-410`) — 1:1 key mapping for users migrating
+        from the PyTorch pipeline. Unknown keys are ignored; ``extra`` kwargs
+        override whole sections.
+        """
+        g = params.get
+        normalize = g("normalize", ["minmax"])
+        if isinstance(normalize, (list, tuple)):
+            normalize = normalize[0] if normalize else "none"
+        model = ModelConfig(
+            icp_type=g("icp_type", "pt2pt"),
+            fft_input=g("fft_input", True),
+            cfar_input=g("cfar_input", False),
+            range_input=g("range_input", False),
+            network_input_type=g("network_input_type", "cartesian"),
+            network_output_type=g("network_output_type", "cartesian"),
+            leaky=g("leaky", False),
+            dropout=g("dropout", 0.05),
+            batch_norm=g("batch_norm", False),
+            init_weights=g("init_weights", True),
+            log_transform=g("log_transform", False),
+            normalize=normalize,
+            norm_weights=g("norm_weights", True),
+            binary_inference=g("binary_inference", False),
+            a_thresh=g("a_thresh", 1.0),
+            b_thresh=g("b_thresh", 0.09),
+            max_iter=g("max_iter", 10),
+            gt_eye=g("gt_eye", True),
+        )
+        data = DataConfig(
+            map_sensor=g("map_sensor", "lidar"),
+            loc_sensor=g("loc_sensor", "radar"),
+            num_train=g("num_train", -1),
+            num_val=g("num_val", -1),
+            augment=g("augment", True),
+            random=g("random", False),
+            use_gt=g("use_gt", False),
+            pos_std=g("pos_std", 2.0),
+            rot_std=g("rot_std", 0.6),
+            gt_eye=g("gt_eye", True),
+        )
+        train = TrainConfig(
+            batch_size_train=g("batch_size_train", 16),
+            batch_size_test=g("batch_size_test", 32),
+            shuffle=g("shuffle", True),
+            num_epochs=g("num_epochs", 30),
+            learning_rate=g("learning_rate", 1e-4),
+            optimizer=g("optimizer", "adam"),
+            clip_value=g("clip_value", 0.0),
+            icp_loss_only_iter=g("icp_loss_only_iter", -1),
+        )
+        loss = LossWeights(
+            icp_rot=g("loss_icp_rot_weight", 1.0),
+            icp_trans=g("loss_icp_trans_weight", 1.0),
+            fft=g("loss_fft_mask_weight", 0.0),
+            mask_pts=g("loss_map_pts_mask_weight", 1.0),
+            cfar=g("loss_cfar_mask_weight", 0.0),
+            num_pts=g("num_pts_weight", 0.0),
+        )
+        kw = dict(model=model, data=data, train=train, loss=loss)
+        kw.update(extra)
+        return Config(**kw)

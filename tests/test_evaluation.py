@@ -76,3 +76,17 @@ def test_online_cacfar_extract_icp_slice():
     # must still remove most of the (0.4 m, 0.15 rad) initial perturbation.
     assert float(np.mean(np.asarray(trans))) < 0.25
     assert float(np.mean(np.asarray(rot))) < 0.08
+
+
+def test_config1_unweighted_pt2pl():
+    from mm_masking_tpu.evaluation.baselines import config1_unweighted_pt2pl
+    from mm_masking_tpu.evaluation.localization import frame_errors
+
+    c = cfg()
+    b = batches(1, batch=8)[0]
+    T = config1_unweighted_pt2pl(c, b)
+    rot, trans = frame_errors(T, b["transforms"]["T_ml_gt"])
+    import numpy as np
+    # Synthetic normals are random (not true surface normals), so pt2pl is
+    # noisy; the typical frame must still converge.
+    assert float(np.median(np.asarray(trans))) < 0.1

@@ -73,3 +73,21 @@ def test_training_loss_terms_toggle():
     )
     assert float(comp2.fft) == 0.0 and float(comp2.cfar) == 0.0
     assert abs(float(loss2) - float(comp2.rot + comp2.trans)) < 1e-6
+
+
+def test_config_from_reference_params():
+    from mm_masking_tpu.config import Config
+
+    params = {
+        "icp_type": "pt2pl", "num_train": 4, "batch_size_train": 8,
+        "loss_cfar_mask_weight": 0.5, "normalize": ["standardize"],
+        "pos_std": 1.5, "max_iter": 7, "optimizer": "sgd",
+        "device": "ignored", "float_type": "ignored",
+    }
+    cfg = Config.from_reference_params(params)
+    assert cfg.model.icp_type == "pt2pl"
+    assert cfg.model.normalize == "standardize"
+    assert cfg.model.max_iter == 7
+    assert cfg.data.num_train == 4 and cfg.data.pos_std == 1.5
+    assert cfg.train.batch_size_train == 8 and cfg.train.optimizer == "sgd"
+    assert cfg.loss.cfar == 0.5 and cfg.loss.mask_pts == 1.0

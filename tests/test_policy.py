@@ -145,3 +145,20 @@ def test_policy_no_icp_when_loss_weights_zero(batch):
     np.testing.assert_array_equal(
         np.asarray(out.T_pred), np.asarray(batch["transforms"]["T_ml_init"])
     )
+
+
+def test_policy_polar_input_end_to_end():
+    # Polar network input/output: UNet on the (A, R) polar image, mask warped
+    # to cartesian for weight lookup (capability extension documented in the
+    # policy).
+    spec = dataclasses.replace(SMALL_SPEC, network_input_type="polar")
+    b = synthetic_batch(3, batch=2, spec=spec)
+    cfg = small_config(network_input_type="polar", network_output_type="polar")
+    policy = LearnICPWeightPolicy(cfg)
+    variables = policy.init(jax.random.PRNGKey(0))
+    out = policy.apply(
+        variables, b["loc_data"], b["map_data"],
+        b["transforms"]["T_ml_init"], train=False,
+    )
+    assert out.weight_mask.shape == (2,) + SMALL_SPEC.polar_shape
+    assert np.isfinite(np.asarray(out.T_pred)).all()
