@@ -165,6 +165,10 @@ class LearnICPWeightPolicy:
             weight_mask = weight_mask / jnp.amax(
                 weight_mask, axis=(1, 2), keepdims=True
             )
+            # XLA TPU lowers divide to multiply-by-reciprocal, which can
+            # overshoot 1 by an ulp (observed: 1.0000001) — torch's true
+            # division never does, and downstream BCE NaNs on p > 1.
+            weight_mask = jnp.minimum(weight_mask, 1.0)
         if binary:
             weight_mask = jnp.where(weight_mask > 0.5, 1.0, 0.0)
         if mask_only:

@@ -34,6 +34,10 @@ class LossComponents(NamedTuple):
 
 @jax.custom_vjp
 def _bce_elem(pred: jax.Array, target: jax.Array) -> jax.Array:
+    # Defensive clamp: TPU reciprocal-based division upstream can leave preds
+    # an ulp outside [0, 1]; log of a negative silently NaNs the whole loss
+    # (torch.BCELoss asserts on out-of-range inputs instead).
+    pred = jnp.clip(pred, 0.0, 1.0)
     log_p = jnp.clip(jnp.log(pred), -100.0, None)
     log_1mp = jnp.clip(jnp.log1p(-pred), -100.0, None)
     return -(target * log_p + (1.0 - target) * log_1mp)
@@ -48,6 +52,7 @@ def _bce_elem_bwd(res, g):
     # torch BCELoss backward: (p - t) / max(p (1 - p), 1e-12). Finite (huge)
     # at saturated predictions instead of the NaN a clipped-log autodiff gives
     # (norm_weights guarantees one mask pixel is exactly 1.0 every step).
+    pred = jnp.clip(pred, 0.0, 1.0)
     denom = jnp.maximum(pred * (1.0 - pred), 1e-12)
     d_pred = g * (pred - target) / denom
     log_p = jnp.clip(jnp.log(pred), -100.0, None)
