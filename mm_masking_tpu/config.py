@@ -48,6 +48,11 @@ class ModelConfig:
     b_thresh: float = 0.09
     max_iter: int = 10  # differentiable ICP iterations (training)
     inference_max_iter: int = 50
+    # 'unroll' backprops through every GN iteration (reference fidelity);
+    # 'implicit' runs the fast while-loop solver and applies the implicit
+    # function theorem at convergence (O(1)-memory backward, approximate
+    # gradients — direction-verified vs unroll in tests).
+    icp_diff_mode: str = "unroll"
     gt_eye: bool = True
     res: float = 0.0596  # polar range resolution (m/bin)
     cart_resolution: float = 0.2384

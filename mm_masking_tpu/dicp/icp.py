@@ -276,6 +276,137 @@ def icp(
     return {"T": T_final, "iterations": n_iter, "delta_norm": dn}
 
 
+# ---------------------------------------------------------------------------
+# Implicit differentiation (optional mode; SURVEY.md §7.3 "improvement").
+#
+# The unrolled mode differentiates through every GN iteration (the reference's
+# fidelity target). `icp_implicit` instead runs the fast non-differentiable
+# while-loop solver to convergence and applies the implicit function theorem
+# at the fixed point: with g(δ, w) = Σᵢ Wᵢ Jᵢᵀ rᵢ = 0 at the solution (W =
+# input · robust · trim weights), dδ*/dw = −H⁻¹ ∂g/∂w with H ≈ Σᵢ Wᵢ JᵢᵀJᵢ
+# (the GN Hessian; correspondences and robust weights frozen — the standard
+# declarative-layer approximation). Backward cost is one 3×3 solve instead of
+# storing/replaying the unroll; gradients propagate to the per-point weights
+# only (the trained input in this framework).
+# ---------------------------------------------------------------------------
+
+
+def _planar_generators(T: jax.Array) -> jax.Array:
+    """(B, 3, 4, 4): d/dδ_k [exp(δ)T] at δ=0 for the planar dofs (x, y, yaw)."""
+    B = T.shape[0]
+    E = jnp.zeros((3, 4, 4), T.dtype)
+    E = E.at[0, 0, 3].set(1.0)  # x
+    E = E.at[1, 1, 3].set(1.0)  # y
+    E = E.at[2, 0, 1].set(-1.0).at[2, 1, 0].set(1.0)  # yaw
+    return jnp.einsum("kac,bcd->bkad", E, T, precision="highest")
+
+
+def _residual_terms(T, source, target_pts, target_nrm, weight, source_valid,
+                    cfg: ICPConfig):
+    """Shared forward terms at the solution: (Jᵀr)_planar (B,N,3), modifier m,
+    and the planar GN Hessian H (B,3,3)."""
+    p = (
+        jnp.einsum("bij,bnj->bni", T[:, :3, :3], source, precision="highest")
+        + T[:, None, :3, 3]
+    )
+    idx, _ = nn_argmin(p, target_pts, use_pallas=cfg.use_pallas_nn)
+    q = jnp.take_along_axis(target_pts, idx[..., None], axis=1)
+    diff = p - q
+    dist = jnp.linalg.norm(diff + 1e-30, axis=-1)
+    if cfg.icp_type == "pt2pl":
+        n = jnp.take_along_axis(target_nrm, idx[..., None], axis=1)
+        r = jnp.sum(n * diff, axis=-1)
+        r_norm = jnp.abs(r)
+        Jt_r = jnp.stack(
+            [
+                n[..., 0] * r,
+                n[..., 1] * r,
+                (p[..., 0] * n[..., 1] - p[..., 1] * n[..., 0]) * r,
+            ],
+            axis=-1,
+        )
+        J_planar = jnp.stack(
+            [n[..., 0], n[..., 1],
+             p[..., 0] * n[..., 1] - p[..., 1] * n[..., 0]], axis=-1
+        )  # (B, N, 3) scalar-residual Jacobian
+        H_outer = jnp.einsum("bni,bnj->bnij", J_planar, J_planar,
+                             precision="highest")
+    else:
+        r = diff
+        r_norm = dist
+        # J = [I | -p^]; planar rows: x, y, yaw. Jᵀr planar components:
+        Jt_r = jnp.stack(
+            [
+                r[..., 0],
+                r[..., 1],
+                p[..., 0] * r[..., 1] - p[..., 1] * r[..., 0],
+            ],
+            axis=-1,
+        )
+        # JᵀJ planar block for a 3-vector residual:
+        #   [[1, 0, -p_y], [0, 1, p_x], [-p_y, p_x, p_x²+p_y²]]
+        px, py = p[..., 0], p[..., 1]
+        one = jnp.ones_like(px)
+        zero = jnp.zeros_like(px)
+        H_outer = jnp.stack(
+            [
+                jnp.stack([one, zero, -py], axis=-1),
+                jnp.stack([zero, one, px], axis=-1),
+                jnp.stack([-py, px, px * px + py * py], axis=-1),
+            ],
+            axis=-2,
+        )
+    m = robust_weight(r_norm, cfg.loss_name, cfg.loss_metric)
+    m = m * (dist < cfg.trim_dist) * source_valid
+    W = m * (weight if weight is not None else 1.0)
+    H = jnp.einsum("bn,bnij->bij", W, H_outer, precision="highest")
+    return Jt_r, m, H
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def icp_implicit(source, target, T_init, weight, cfg: ICPConfig):
+    """Converged ICP pose with implicit-function-theorem gradients w.r.t.
+    ``weight``. Forward = the while-loop solver; backward = one damped 3×3
+    solve. Gradients w.r.t. source/target/T_init are not propagated."""
+    run_cfg = dataclasses.replace(cfg, differentiable=False)
+    return icp(source, target, T_init, weight=weight, cfg=run_cfg)["T"]
+
+
+def _icp_implicit_fwd(source, target, T_init, weight, cfg):
+    T = icp_implicit(source, target, T_init, weight, cfg)
+    return T, (source, target, T, weight)
+
+
+def _icp_implicit_bwd(cfg, res, dT):
+    source, target, T, weight = res
+    source = source[..., :3]
+    target_pts = target[..., :3]
+    target_nrm = target[..., 3:6] if target.shape[-1] >= 6 else None
+    source_valid = (
+        ~((source[..., 0] == 0.0) & (source[..., 1] == 0.0))
+    ).astype(source.dtype)
+
+    Jt_r, m, H = _residual_terms(
+        T, source, target_pts, target_nrm, weight, source_valid, cfg
+    )
+    # Cotangent on the planar chart: dδ_k = <dT, E_k T>.
+    G = _planar_generators(T)  # (B, 3, 4, 4)
+    d_delta = jnp.einsum("bxy,bkxy->bk", dT, G, precision="highest")
+    H = H + cfg.damping * jnp.eye(3, dtype=H.dtype)
+    lam = _solve3x3(H, d_delta)  # (B, 3)
+    # g_k = Σᵢ wᵢ mᵢ (Jᵀr)ᵢₖ ; δ* moves as −H⁻¹ g ⇒ dL/dwᵢ = −λᵀ mᵢ (Jᵀr)ᵢ.
+    dw = -jnp.einsum("bk,bn,bnk->bn", lam, m, Jt_r, precision="highest")
+    return (
+        jnp.zeros_like(source),
+        jnp.zeros_like(target),
+        jnp.zeros_like(jnp.asarray(res[2])),  # T_init cotangent (unused)
+        dw,
+    )
+
+
+icp_implicit.defvjp(_icp_implicit_fwd, _icp_implicit_bwd)
+
+
 class ICP:
     """Object wrapper mirroring the reference's ``dICP.ICP`` construction
     pattern (`icp_weight_policy.py:53-55`)."""

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from mm_masking_tpu.config import Config, ModelConfig
-from mm_masking_tpu.dicp import ICPConfig, icp
+from mm_masking_tpu.dicp import ICPConfig, icp, icp_implicit
 from mm_masking_tpu.models.unet import UNet
 from mm_masking_tpu.ops import (
     extract_weights,
@@ -208,6 +208,21 @@ class LearnICPWeightPolicy:
                 mean_all_pts, updates,
             )
 
+        if train and m.icp_diff_mode == "implicit":
+            # O(1)-memory backward: converge with the while-loop solver and
+            # differentiate via the implicit function theorem.
+            cfg_icp = dataclasses.replace(
+                self._icp_inference, max_iterations=max(m.max_iter * 5, 50),
+                dim=2,
+            )
+            T_est = icp_implicit(
+                batch_scan["filtered_pc"], batch_map["pc"], T_init, weights,
+                cfg_icp,
+            )
+            return PolicyOutput(
+                T_est, weight_mask, stats.diff_mean_num_non0, stats,
+                mean_all_pts, updates,
+            )
         cfg_icp = self._icp_train if train else self._icp_inference
         result = icp(
             batch_scan["filtered_pc"],

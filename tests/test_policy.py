@@ -162,3 +162,23 @@ def test_policy_polar_input_end_to_end():
     )
     assert out.weight_mask.shape == (2,) + SMALL_SPEC.polar_shape
     assert np.isfinite(np.asarray(out.T_pred)).all()
+
+
+def test_policy_implicit_diff_mode(batch):
+    cfg = small_config(icp_diff_mode="implicit")
+    policy = LearnICPWeightPolicy(cfg)
+    variables = policy.init(jax.random.PRNGKey(0))
+
+    def loss_fn(v):
+        out = policy.apply(
+            v, batch["loc_data"], batch["map_data"],
+            batch["transforms"]["T_ml_init"], train=True,
+            rng=jax.random.PRNGKey(1),
+        )
+        th, r = planar_xi_first_order(out.T_pred)
+        return jnp.mean(jnp.abs(th)) + jnp.mean(jnp.linalg.norm(r, axis=-1))
+
+    g = jax.grad(loss_fn)(variables)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0

@@ -82,3 +82,49 @@ def test_unrolled_matches_while_loop_at_convergence():
               cfg=ICPConfig(max_iterations=40, differentiable=False,
                             tolerance=1e-9))["T"]
     np.testing.assert_allclose(np.asarray(T_a), np.asarray(T_b), atol=1e-5)
+
+
+def test_implicit_gradient_matches_unrolled_at_convergence():
+    # Implicit-function-theorem gradients (one 3x3 solve) must agree with the
+    # unrolled-to-convergence gradients on the weight input.
+    from mm_masking_tpu.dicp.icp import icp_implicit
+
+    src, tgt = scene(seed=5, B=1, N=96, M=200)
+    T_init = se3_exp(jnp.zeros((1, 6)).at[0, 0].set(0.15).at[0, 5].set(0.05))
+    w0 = jnp.ones((1, src.shape[1]))
+    cfg = ICPConfig(icp_type="pt2pt", max_iterations=60, tolerance=1e-9,
+                    loss_name="cauchy")
+
+    def loss_unroll(w):
+        T = icp(src, tgt, T_init, weight=w,
+                cfg=ICPConfig(icp_type="pt2pt", max_iterations=60,
+                              differentiable=True))["T"]
+        th, r = planar_xi_first_order(T)
+        return jnp.sum(th**2) + jnp.sum(r**2)
+
+    def loss_implicit(w):
+        T = icp_implicit(src, tgt, T_init, w, cfg)
+        th, r = planar_xi_first_order(T)
+        return jnp.sum(th**2) + jnp.sum(r**2)
+
+    g_u = np.asarray(jax.grad(loss_unroll)(w0))
+    g_i = np.asarray(jax.grad(loss_implicit)(w0))
+    assert np.isfinite(g_i).all()
+    # Direction agreement (the IFT approximation freezes robust weights and
+    # correspondences, so magnitudes differ slightly).
+    cos = (g_u * g_i).sum() / (np.linalg.norm(g_u) * np.linalg.norm(g_i) + 1e-12)
+    assert cos > 0.9, cos
+
+
+def test_implicit_forward_equals_solver():
+    from mm_masking_tpu.dicp.icp import icp_implicit
+
+    src, tgt = scene(seed=6, B=2, N=64, M=128)
+    T_init = se3_exp(jnp.zeros((2, 6)).at[:, 0].set(0.1))
+    w = jnp.ones((2, src.shape[1]))
+    cfg = ICPConfig(icp_type="pt2pt", max_iterations=40, tolerance=1e-9)
+    T_i = icp_implicit(src, tgt, T_init, w, cfg)
+    T_s = icp(src, tgt, T_init, weight=w,
+              cfg=ICPConfig(icp_type="pt2pt", max_iterations=40,
+                            tolerance=1e-9, differentiable=False))["T"]
+    np.testing.assert_allclose(np.asarray(T_i), np.asarray(T_s), atol=1e-6)

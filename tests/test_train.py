@@ -114,3 +114,24 @@ def test_sharded_equals_single_device(tmp_path):
     _, loss8, _ = t8._train_step(s8, b8, mask_losses_active=True)
     _, loss1, _ = t1._train_step(s1, b1, mask_losses_active=True)
     assert abs(float(loss8) - float(loss1)) < 1e-4, (float(loss8), float(loss1))
+
+
+def test_multi_sequence_eval_on_mesh(tmp_path):
+    # Config-5 surface: several independent "sequences" streamed through the
+    # sharded eval path on the 8-device mesh.
+    from mm_masking_tpu.evaluation import evaluate_policy_on_sequences
+
+    cfg = tiny_config(tmp_path)
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    seqs = {
+        "seq_a": lambda: iter(batches(1, seed0=10)),
+        "seq_b": lambda: iter(batches(1, seed0=20)),
+    }
+    res = evaluate_policy_on_sequences(trainer, state, seqs)
+    assert set(res) == {"seq_a", "seq_b"}
+    for errs in res.values():
+        assert errs.n_frames == 8
+        assert np.isfinite(errs.trans_rmse)
+        d = errs.as_dict()
+        assert "rot_rmse" in d
