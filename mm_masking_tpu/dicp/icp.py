@@ -112,12 +112,23 @@ def _gn_step(
         r = diff  # (B, N, 3)
         r_norm = dist
 
-    # 4. weights
-    w = robust_weight(r_norm, cfg.loss_name, cfg.loss_metric)
-    w = w * (dist < cfg.trim_dist)
+    # 4. weights. NaN hygiene is load-bearing: if an item diverges, transformed
+    # coordinates overflow f32 and dist/r turn NaN; `0 * NaN = NaN` would then
+    # poison the normal equations for the whole batch element permanently.
+    # Trimming must therefore be a select, and residuals/points must be zeroed
+    # wherever the point is inactive.
+    active = jnp.isfinite(dist) & (dist < cfg.trim_dist)
+    w = robust_weight(
+        jnp.where(active, r_norm, 1.0), cfg.loss_name, cfg.loss_metric
+    )
+    w = jnp.where(active, w, 0.0)
     w = w * source_valid
     if weight is not None:
         w = w * weight
+    r = jnp.where(active if r.ndim == 2 else active[..., None], r, 0.0)
+    p = jnp.where(active[..., None], p, 0.0)
+    if cfg.icp_type == "pt2pl":
+        n = jnp.where(active[..., None], n, 0.0)
 
     # 5. normal equations over the se(3) perturbation delta (applied on the left)
     #    d(exp(d)x)/dd at 0 = [ I | -x^ ]
@@ -157,13 +168,22 @@ def _gn_step(
         sel = jnp.asarray(_PLANAR_DOF)
         A_sub = A[:, sel][:, :, sel]
         b_sub = b[:, sel]
-        A_sub = A_sub + cfg.damping * jnp.eye(3, dtype=A.dtype)
+        # Trace-relative Levenberg floor: negligible (1e-7 relative) on a
+        # healthy system, keeps near-dead systems (all weights trimmed) from
+        # producing exploding steps.
+        tr3 = (A_sub[:, 0, 0] + A_sub[:, 1, 1] + A_sub[:, 2, 2]) / 3.0
+        lam = cfg.damping + 1e-7 * tr3
+        A_sub = A_sub + lam[:, None, None] * jnp.eye(3, dtype=A.dtype)
         d_sub = _solve3x3(A_sub, b_sub)
         delta = jnp.zeros((B, 6), A.dtype)
         delta = delta.at[:, sel].set(d_sub)
     else:
-        A = A + cfg.damping * jnp.eye(6, dtype=A.dtype)
+        tr6 = jnp.trace(A, axis1=-2, axis2=-1) / 6.0
+        lam = cfg.damping + 1e-7 * tr6
+        A = A + lam[:, None, None] * jnp.eye(6, dtype=A.dtype)
         delta = jnp.linalg.solve(A, b[..., None])[..., 0]
+    # A diverged item must not turn the whole composed pose chain NaN.
+    delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
 
     T_new = jnp.matmul(se3_exp(delta), T, precision="highest")
     return T_new, delta
@@ -356,8 +376,13 @@ def _residual_terms(T, source, target_pts, target_nrm, weight, source_valid,
             ],
             axis=-2,
         )
-    m = robust_weight(r_norm, cfg.loss_name, cfg.loss_metric)
-    m = m * (dist < cfg.trim_dist) * source_valid
+    active = jnp.isfinite(dist) & (dist < cfg.trim_dist)
+    m = robust_weight(
+        jnp.where(active, r_norm, 1.0), cfg.loss_name, cfg.loss_metric
+    )
+    m = jnp.where(active, m, 0.0) * source_valid
+    Jt_r = jnp.where(active[..., None], Jt_r, 0.0)
+    H_outer = jnp.where(active[..., None, None], H_outer, 0.0)
     W = m * (weight if weight is not None else 1.0)
     H = jnp.einsum("bn,bnij->bij", W, H_outer, precision="highest")
     return Jt_r, m, H

@@ -43,10 +43,14 @@ def upsample_bilinear_align_corners(x: jax.Array, size: tuple[int, int]) -> jax.
             reps = [1] * arr.ndim
             reps[axis] = out_size
             return jnp.tile(arr, reps)
-        pos = jnp.linspace(0.0, in_size - 1.0, out_size, dtype=arr.dtype)
-        i0 = jnp.floor(pos).astype(jnp.int32)
-        i1 = jnp.minimum(i0 + 1, in_size - 1)
-        t = (pos - i0.astype(arr.dtype))
+        # Index math stays f32 regardless of activation dtype: bf16 linspace
+        # rounds positions past in_size-1 (e.g. 320 for a 320-row input), and
+        # jnp.take fills out-of-bounds gathers with NaN by default. Clamp i0
+        # so i1 = i0 + 1 is always valid.
+        pos = jnp.linspace(0.0, in_size - 1.0, out_size, dtype=jnp.float32)
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, in_size - 2)
+        i1 = i0 + 1
+        t = (pos - i0.astype(jnp.float32)).astype(arr.dtype)
         a0 = jnp.take(arr, i0, axis=axis)
         a1 = jnp.take(arr, i1, axis=axis)
         shape = [1] * arr.ndim
