@@ -101,3 +101,27 @@ def load_calib(seq_dir: str, map_sensor: str = "lidar") -> np.ndarray:
     else:
         raise ValueError(map_sensor)
     return get_inverse_tf(T_robot_map_sensor)
+
+
+def load_pc_from_file(file_path: str) -> np.ndarray:
+    """float32 binary → (N, 6) array (x, y, z, nx, ny, nz).
+
+    API parity with reference `radar_utils.load_pc_from_file`
+    (`/root/reference/mm_masking/radar_utils.py:10-18`), minus the torch
+    device plumbing.
+    """
+    pc = np.fromfile(file_path, dtype=np.float32)
+    return pc.reshape(len(pc) // 6, 6)
+
+
+def dump_pc_to_file(pc: np.ndarray, file_path: str) -> None:
+    """(N, >=3) cloud → packed float32 .bin (pad normals with zeros if absent).
+
+    Replaces `utils/extract_pointcloud.py`'s per-timestamp dump format.
+    """
+    pc = np.asarray(pc, np.float32)
+    if pc.shape[1] < 6:
+        pc = np.concatenate(
+            [pc, np.zeros((pc.shape[0], 6 - pc.shape[1]), np.float32)], axis=1
+        )
+    pc[:, :6].astype(np.float32).tofile(file_path)

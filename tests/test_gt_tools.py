@@ -71,3 +71,19 @@ def test_eval_localization_run(tmp_path):
     # Aligned GT file written and readable.
     poses, times = read_traj_file(str(tmp_path / "gt_out.txt"))
     assert len(poses) == 4
+
+
+def test_pc_bin_roundtrip(tmp_path):
+    from mm_masking_tpu.data.boreas import dump_pc_to_file, load_pc_from_file
+
+    rng = np.random.default_rng(0)
+    pc = rng.normal(size=(17, 6)).astype(np.float32)
+    p = str(tmp_path / "cloud.bin")
+    dump_pc_to_file(pc, p)
+    out = load_pc_from_file(p)
+    np.testing.assert_array_equal(out, pc)
+    # 3-column clouds get zero normals.
+    dump_pc_to_file(pc[:, :3], p)
+    out = load_pc_from_file(p)
+    np.testing.assert_array_equal(out[:, :3], pc[:, :3])
+    assert np.all(out[:, 3:] == 0)
