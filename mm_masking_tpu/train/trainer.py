@@ -179,13 +179,19 @@ class Trainer:
         }
         return state, mean_loss, mean_comp
 
-    def validate(self, state: TrainState, batches: Iterable, binary: bool = False):
+    def validate(self, state: TrainState, batches: Iterable, binary: bool = False,
+                 epoch: int | None = None, dump_artifacts: bool = False):
+        """Validation pass; optionally dump the reference's image artifact set
+        (learned masks each logged epoch; raw BEV/CFAR/FFT-threshold/map-BEV
+        masks at the pre-train epoch −1 — `train_icp_weights.py:109-169`)."""
         errs, num_pc, ws = [], [], []
         max_w, min_w = 0.0, 1000.0
         n = 0
         for batch in batches:
             batch = shard_batch(batch, self.mesh)
-            err, stats, _ = self._eval_step(state, batch, binary=binary)
+            err, stats, mask = self._eval_step(state, batch, binary=binary)
+            if dump_artifacts and n == 0:
+                self._dump_artifacts(batch, mask, epoch)
             errs.append(err)
             num_pc.append(float(stats.mean_num_non0))
             ws.append(float(stats.mean_w))
@@ -194,6 +200,30 @@ class Trainer:
             n += 1
         err = jnp.mean(jnp.stack(errs), axis=0)
         return err, sum(num_pc) / n, sum(ws) / n, max_w, min_w
+
+    def _dump_artifacts(self, batch, mask, epoch: int | None):
+        from mm_masking_tpu.utils.visualize import save_mask_image
+
+        art_dir = self.logger.art_dir
+        tag = "pre" if (epoch is None or epoch < 0) else str(epoch)
+        save_mask_image(np.asarray(mask)[0], art_dir, f"learned_mask_e{tag}")
+        if epoch is not None and epoch < 0:
+            cfg = self.cfg
+            fft = batch["loc_data"]["fft_data"]
+            save_mask_image(np.asarray(fft)[0], art_dir, "raw_scan")
+            save_mask_image(
+                np.asarray(batch["loc_data"]["fft_cfar"])[0], art_dir,
+                "cfar_mask",
+            )
+            mean_scan = jnp.mean(fft, axis=(1, 2), keepdims=True)
+            fft_mask = jnp.where(fft > 3.0 * mean_scan, 1.0, 0.0)
+            save_mask_image(np.asarray(fft_mask)[0], art_dir, "fft_mask")
+            bev = extract_bev_from_pts(
+                batch["map_data"]["pc"][..., :3],
+                cart_pixel_width=cfg.model.cart_pixel_width,
+                cart_resolution=cfg.model.cart_resolution,
+            )
+            save_mask_image(np.asarray(bev)[0], art_dir, "map_mask")
 
     def generate_baseline(self, state: TrainState, batches: Iterable,
                           baseline_type: str = "val", binary: bool = False):
@@ -302,7 +332,8 @@ class Trainer:
         })
 
         err, *_ = self.validate(
-            state, val_batches_fn(), binary=cfg.model.binary_inference
+            state, val_batches_fn(), binary=cfg.model.binary_inference,
+            epoch=-1, dump_artifacts=True,
         )
         best_norm = float(err[0])
         log.log("pretrain_val", {"norm": best_norm, "rot": float(err[1]),
@@ -318,7 +349,8 @@ class Trainer:
 
             tic = time.time()
             err, mean_num_pc, mean_w, max_w, min_w = self.validate(
-                state, val_batches_fn(), binary=cfg.model.binary_inference
+                state, val_batches_fn(), binary=cfg.model.binary_inference,
+                epoch=epoch, dump_artifacts=True,
             )
             val_time = time.time() - tic
             norm = float(err[0])
