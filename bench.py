@@ -12,19 +12,16 @@ provenance; the reference repo ships no numbers of its own — BASELINE.md).
 """
 from __future__ import annotations
 
-# Persistent compilation cache: full-size programs take minutes to compile on
-# this single-core host; cache across processes.
-import os as _os
-_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                       _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"))
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-
 import json
 import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+from mm_masking_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 
 def _force(out):
