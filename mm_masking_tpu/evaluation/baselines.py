@@ -12,20 +12,12 @@ and the round benchmarks drive these.
 """
 from __future__ import annotations
 
-import time
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 
 from mm_masking_tpu.config import Config
 from mm_masking_tpu.dicp import ICPConfig, icp
-from mm_masking_tpu.evaluation.localization import (
-    evaluate_sequence,
-    make_constant_weight_localizer,
-    make_masked_localizer,
-)
-from mm_masking_tpu.ops import cfar_mask, extract_pc, radar_polar_to_cartesian
+from mm_masking_tpu.ops import cfar_mask, extract_pc
 
 
 def config1_unweighted_pt2pl(cfg: Config, batch: dict):

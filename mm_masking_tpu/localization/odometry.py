@@ -16,7 +16,6 @@ buffer (pad rows at the far sentinel).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp

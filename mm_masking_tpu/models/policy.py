@@ -20,7 +20,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from mm_masking_tpu.config import Config, ModelConfig
+from mm_masking_tpu.config import Config
 from mm_masking_tpu.dicp import ICPConfig, icp, icp_implicit
 from mm_masking_tpu.models.unet import UNet
 from mm_masking_tpu.ops import (

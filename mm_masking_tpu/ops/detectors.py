@@ -20,8 +20,6 @@ applies the per-azimuth range correction given the platform velocity.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -10,15 +10,8 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import sys
 
-from mm_masking_tpu.config import (
-    Config,
-    DataConfig,
-    LossWeights,
-    ModelConfig,
-    TrainConfig,
-)
+from mm_masking_tpu.config import Config
 
 
 def _apply_overrides(cfg: Config, overrides: list[str]) -> Config:

@@ -15,8 +15,6 @@ per-epoch checkpoints → final best validation) with the torch loop replaced by
 """
 from __future__ import annotations
 
-import dataclasses
-import functools
 import time
 from typing import Any, Callable, Iterable, NamedTuple
 
