@@ -48,3 +48,51 @@ def test_teach_pass_tracks_motion_and_builds_map():
     assert real.shape[0] > 100
     mwn = np.asarray(tp.map_with_normals())
     assert mwn.shape[-1] == 6
+
+
+def test_teach_then_repeat_roundtrip():
+    # Full T&R loop: TeachPass builds a world map from scans along a path;
+    # the repeat pass localizes a perturbed scan against that map (pt2pl via
+    # map_with_normals) — the data-generation parity story end to end.
+    from mm_masking_tpu.dicp import ICPConfig, icp
+    from mm_masking_tpu.geom import planar_xi_first_order
+
+    world = make_world(seed=5, n=500)
+    cfg = OdometryConfig(max_map_pts=2048, voxel_size=0.3, max_iterations=30)
+    tp = TeachPass(cfg)
+
+    rng = np.random.default_rng(7)
+    poses = [np.eye(4)]
+    for _ in range(3):
+        poses.append(np.asarray(se3_exp(jnp.asarray([0.5, 0.0, 0, 0, 0, 0.02]))
+                                @ jnp.asarray(poses[-1])))
+    for T_wr in poses:
+        T_rw = np.asarray(se3_inv(jnp.asarray(T_wr)[None]))[0]
+        scan = (world @ T_rw[:3, :3].T + T_rw[:3, 3]).astype(np.float32)
+        scan = scan[np.linalg.norm(scan[:, :2], axis=1) < 30][:256]
+        scan = np.pad(scan, ((0, 256 - scan.shape[0]), (0, 0)))
+        tp.process(jnp.asarray(scan))
+
+    # Repeat pass: a new scan at a pose near the teach path, perturbed init.
+    map_pc = tp.map_with_normals()  # (1, M, 6) world frame
+    T_true = poses[2]
+    T_rw = np.asarray(se3_inv(jnp.asarray(T_true)[None]))[0]
+    scan = (world @ T_rw[:3, :3].T + T_rw[:3, 3]).astype(np.float32)
+    scan = scan[np.linalg.norm(scan[:, :2], axis=1) < 30][:256]
+    scan = np.pad(scan, ((0, 256 - scan.shape[0]), (0, 0)))
+
+    # Localize scan (robot frame) against the world map: solve T_world_robot.
+    # NB pt2pt, not pt2pl: on this planar scatter the PCA normals point ±z, so
+    # point-to-plane residuals carry no planar constraint (real lidar maps have
+    # walls; the synthetic world has none).
+    T_init = jnp.asarray(T_true)[None] @ se3_exp(
+        jnp.asarray([[0.2, -0.1, 0, 0, 0, 0.05]])
+    )
+    valid = ~((scan[:, 0] == 0) & (scan[:, 1] == 0))
+    out = icp(jnp.asarray(scan)[None], map_pc, T_init,
+              weight=jnp.asarray(valid[None], jnp.float32),
+              cfg=ICPConfig(icp_type="pt2pt", max_iterations=40,
+                            differentiable=False, tolerance=1e-8))
+    D = np.asarray(out["T"])[0] @ np.linalg.inv(T_true)
+    assert np.linalg.norm(D[:2, 3]) < 0.1, D[:2, 3]
+    assert abs(D[1, 0]) < 0.02
