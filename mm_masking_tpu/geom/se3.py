@@ -24,8 +24,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_EPS = 1e-8
-
 
 def hat3(phi: jax.Array) -> jax.Array:
     """(…, 3) axis-angle vector -> (…, 3, 3) skew-symmetric matrix."""

@@ -130,3 +130,33 @@ def test_val_dataset_ones_baseline_reduces_error(synth_root):
         state, batches, baseline_type="val"
     )
     assert ones_loss < 0.5 * init_loss, (init_loss, ones_loss)
+
+
+def test_augmentation_keeps_scan_and_image_consistent(synth_root):
+    # SURVEY §4 property: the rotation augmentation must rotate clouds and
+    # roll the polar image *together* — bright FFT bins still line up with the
+    # scan points' polar coordinates after augmentation.
+    root, info = synth_root
+    cfg = make_config(root, info, augment=True)
+    ds = ICPWeightDataset(pairs(info), cfg, dataset_type="train")
+    item = ds[0]
+    fft = item["loc_data"]["fft_data"]  # polar (A, R), augmented
+    az = item["loc_data"]["azimuths"]
+    scan = item["loc_data"]["filtered_pc"]
+    real = scan[~((scan[:, 0] == 0) & (scan[:, 1] == 0))]
+
+    A, R = fft.shape
+    res = info["polar_res"]
+    r_idx = np.clip((np.linalg.norm(real[:, :2], axis=1) / res).astype(int),
+                    0, R - 1)
+    ang = np.mod(np.arctan2(real[:, 1], real[:, 0]), 2 * np.pi)
+    # Floor-semantics row lookup against the (rolled, sorted) azimuth array:
+    # the synthetic writer plants each return in the row whose azimuth is the
+    # floor of the point angle (single-row peaks — nearest-rounding misses
+    # half of them).
+    a_idx = np.searchsorted(az, ang, side="right") - 1
+    a_idx = np.where(a_idx < 0, A - 1, a_idx)
+    vals = fft[a_idx, r_idx]
+    # Scan-point bins must be much brighter than the noise floor.
+    assert np.median(vals) > 5 * np.median(fft), (np.median(vals),
+                                                  np.median(fft))
