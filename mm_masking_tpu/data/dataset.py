@@ -315,7 +315,7 @@ class ICPWeightDataset:
 
     def get_item_from_loc_timestamp(self, loc_stamp_req: int) -> dict:
         """Lookup by localization timestamp (`icp_weight_dataset.py:454-496`)."""
-        for i, (shard_path, *_), in enumerate(self.entries):
+        for i, (shard_path, *_) in enumerate(self.entries):
             if f"frame_{loc_stamp_req}." in osp.basename(shard_path):
                 item = self[i]
                 assert item["loc_data"]["timestamp"] == loc_stamp_req

@@ -21,11 +21,7 @@ from mm_masking_tpu.ops import radar_polar_to_cartesian
 
 def _collate(items: list[dict]) -> dict:
     """Stack a list of sample dicts into one batch dict of arrays."""
-    def stack(key_path, *vals):
-        return np.stack(vals, axis=0)
-
-    out = jax.tree_util.tree_map(lambda *v: np.stack(v, axis=0), *items)
-    return out
+    return jax.tree_util.tree_map(lambda *v: np.stack(v, axis=0), *items)
 
 
 @functools.partial(jax.jit, static_argnames=("res", "cart_resolution",
