@@ -123,3 +123,16 @@ def eval_localization_run(
         "trans_mean": float(trans.mean()),
         "trans_rmse": float(np.sqrt((trans**2).mean())),
     }
+
+
+def eval_odometry_run(est_path: str, odo_gt_csv: str,
+                      out_gt_path: str | None = None, tol_us: int = 1000) -> dict:
+    """Odometry-frame GT evaluation (`utils/extract_odo_gt.py` capability).
+
+    An odometry trajectory is a localization run against the sequence's own
+    GT frames, so the alignment/error math is shared with
+    :func:`eval_localization_run` — both the "map" and "loc" GT come from the
+    same Applanix CSV.
+    """
+    return eval_localization_run(est_path, odo_gt_csv, odo_gt_csv,
+                                 out_gt_path=out_gt_path, tol_us=tol_us)

@@ -87,3 +87,30 @@ def test_pc_bin_roundtrip(tmp_path):
     out = load_pc_from_file(p)
     np.testing.assert_array_equal(out[:, :3], pc[:, :3])
     assert np.all(out[:, 3:] == 0)
+
+
+def test_eval_odometry_run(tmp_path):
+    from mm_masking_tpu.evaluation.gt_tools import eval_odometry_run
+
+    def write_csv(path, rows):
+        with open(path, "w") as f:
+            f.write("GPSTime,easting,northing,altitude,ve,vn,vu,"
+                    "roll,pitch,heading\n")
+            for t_us, x, y, h in rows:
+                f.write(f"{t_us/1e6:.6f},{x},{y},0,0,0,0,0,0,{h}\n")
+
+    rows = [(1_000_000 + 100_000 * i, 0.4 * i, 0.1 * i, 0.02 * i)
+            for i in range(4)]
+    csv = str(tmp_path / "odo.csv")
+    write_csv(csv, rows)
+    # Perfect estimate: relative transform of each frame to its own closest GT
+    # is identity.
+    est_poses, est_times = [], []
+    for t_us, x, y, h in rows:
+        est_poses.append(np.eye(4))
+        est_times.append(t_us)
+    est = str(tmp_path / "est.txt")
+    write_traj_file(est, est_poses, est_times)
+    stats = eval_odometry_run(est, csv)
+    assert stats["n_frames"] == 4
+    assert stats["trans_rmse"] < 1e-9
