@@ -35,6 +35,10 @@ class SyntheticSpec:
     rot_std: float = 0.6
     noise: float = 0.02
     network_input_type: str = "cartesian"
+    # Fraction of scan returns that are clutter: present in the scan (and
+    # bright in the FFT image) but absent from the map — the structured noise
+    # the learned mask exists to suppress.
+    clutter_frac: float = 0.0
 
 
 def synthetic_batch(seed: int, batch: int, spec: SyntheticSpec = SyntheticSpec()):
@@ -70,6 +74,15 @@ def synthetic_batch(seed: int, batch: int, spec: SyntheticSpec = SyntheticSpec()
         0, spec.noise, (batch, n_real_scan, 3)
     ).astype(np.float32)
     scan[:, :n_real_scan, 2] = 0.0
+    # Replace a fraction of returns with clutter (random positions with no map
+    # counterpart) — what the learned weight mask should suppress.
+    n_clutter = int(spec.clutter_frac * n_real_scan)
+    if n_clutter:
+        cr = rng.uniform(spec.min_range, spec.max_range, (batch, n_clutter))
+        ca = rng.uniform(0, 2 * np.pi, (batch, n_clutter))
+        scan[:, :n_clutter, 0] = (cr * np.cos(ca)).astype(np.float32)
+        scan[:, :n_clutter, 1] = (cr * np.sin(ca)).astype(np.float32)
+        scan[:, :n_clutter, 2] = 0.0
 
     # Polar FFT image: splat scan returns into (azimuth, range) bins.
     fft = (0.05 * rng.random((batch, A, R)) ** 2).astype(np.float32)
@@ -81,10 +94,17 @@ def synthetic_batch(seed: int, batch: int, spec: SyntheticSpec = SyntheticSpec()
     a_idx = np.clip((scan_a / (2 * np.pi / A)).astype(int), 0, A - 1)
     r_idx = np.clip((scan_r / spec.res).astype(int), 0, R - 2)
     b_idx = np.broadcast_to(np.arange(batch)[:, None], a_idx.shape)
-    for dr in (0, 1):
-        fft[b_idx, a_idx, r_idx + dr] = rng.uniform(
-            0.6, 1.0, size=a_idx.shape
+    # Clutter returns are dimmer than real scatterers — the visual cue the
+    # weight mask can learn to key on (real multipath/speckle artifacts are
+    # likewise distinguishable in appearance).
+    intensity = rng.uniform(0.6, 1.0, size=a_idx.shape).astype(np.float32)
+    n_clutter = int(spec.clutter_frac * n_real_scan)
+    if n_clutter:
+        intensity[:, :n_clutter] = rng.uniform(
+            0.2, 0.4, size=(batch, n_clutter)
         ).astype(np.float32)
+    for dr in (0, 1):
+        fft[b_idx, a_idx, r_idx + dr] = intensity
 
     azimuths = np.broadcast_to(az_grid[None], (batch, A)).copy()
     az_times = np.linspace(0, 0.25, A, dtype=np.float32)
