@@ -191,6 +191,35 @@ def parse_vtr_pointcloud_msg(buf: bytes) -> dict:
     return {"points": arr, "stamp": pc["stamp"], "xi": np.asarray(xi)}
 
 
+def parse_localization_result(buf: bytes) -> dict:
+    """VTR `LocalizationResult` message (the v1 GT-extraction path's input,
+    `/root/reference/mm_masking/utils/extract_odo_gt.py:100-116`).
+
+    Field layout reconstructed from the consuming scripts (the vtr3 msg
+    definition lives in the unmounted submodule): ``timestamp`` (int64 ns,
+    query scan), ``vertex_timestamp`` (int64 ns, map vertex),
+    ``vertex_id`` (uint64), ``t_robot_vertex`` (float64[16] row-major 4×4).
+    Only the first three are consumed by the reference's extractors.
+    """
+    r = CdrReader(buf)
+    return {
+        "timestamp": r.int64(),
+        "vertex_timestamp": r.int64(),
+        "vertex_id": r.uint64(),
+        "T_robot_vertex": r.float64_array(16).reshape(4, 4),
+    }
+
+
+def encode_localization_result(timestamp_ns: int, vertex_timestamp_ns: int,
+                               vertex_id: int, T_robot_vertex=None) -> bytes:
+    """Inverse of :func:`parse_localization_result` (bag synthesis/tests)."""
+    buf = bytearray(b"\x00\x01\x00\x00")
+    buf += struct.pack("<qqQ", timestamp_ns, vertex_timestamp_ns, vertex_id)
+    T = np.eye(4) if T_robot_vertex is None else np.asarray(T_robot_vertex)
+    buf += T.astype("<f8").ravel().tobytes()
+    return bytes(buf)
+
+
 def se3_exp_np(xi: np.ndarray) -> np.ndarray:
     """Host-side exp map (same convention as geom.se3) for converter use."""
     rho, phi = xi[:3], xi[3:]
@@ -219,36 +248,134 @@ def se3_exp_np(xi: np.ndarray) -> np.ndarray:
     return T
 
 
+def _transformed_map_shard(map_msg: dict) -> dict:
+    """Pointmap into its map-vertex frame by exp(xi); normals rotation-only
+    (`utils/extract_graph.py:13-27`)."""
+    T_m_v = se3_exp_np(map_msg["xi"])
+    pts = map_msg["points"][:, :3] @ T_m_v[:3, :3].T + T_m_v[:3, 3]
+    T_rot = se3_exp_np(np.concatenate([np.zeros(3), map_msg["xi"][3:]]))
+    nrm = map_msg["points"][:, 3:6] @ T_rot[:3, :3].T
+    return {
+        "map_pc": np.concatenate([pts, nrm], axis=-1).astype(np.float32),
+        "map_stamp": np.int64(map_msg["stamp"] // 1000),
+    }
+
+
+def _write_shard(out_dir: str, index: dict, shard: dict):
+    name = f"frame_{int(shard['loc_stamp'])}.npz"
+    np.savez_compressed(osp.join(out_dir, name), **shard)
+    index["frames"].append(name)
+    index["max_loc"] = max(index["max_loc"], shard["raw_pc"].shape[0])
+    if "map_pc" in shard:
+        index["max_map"] = max(index["max_map"], shard["map_pc"].shape[0])
+
+
 def convert_graph(
     graph_dir: str,
     out_dir: str,
     msg_prefix: str = "radar_",
     limit: int = -1,
+    repeat_run: int | None = None,
 ) -> dict:
     """Convert a VTR pose-graph rosbag2 directory into per-frame npz shards.
 
-    Expects the rosbag2 layout VTR writes (one `.db3` per vertex stream); walks
-    localization vertices, pairs each with its teach-pass map vertex, and
-    writes {raw_pc, filt_pc, map_pc(+normals), loc_stamp, map_stamp} shards.
-    Returns the index dict (also written to ``index.json``).
+    When the bags carry graph structure (``vertexes``/``edges`` topics), this
+    performs the reference's walk (`icp_weight_dataset.py:150-165`): iterate
+    the repeat run's temporal chain from ``(repeat_run, 0)``, skip entries
+    whose incoming edge is invalid, resolve each localization vertex's
+    *closest teach vertex* via spatial edges, follow its ``pointmap_ptr`` to
+    the map vertex, and pair the frame with *that* vertex's ``pointmap`` —
+    frames under different teach vertices get different maps. Malformed
+    vertices (no teach connection / missing data) are skipped with a log line,
+    as are unreadable ``.db3`` files.
+
+    Bags without graph topics fall back to flat stream pairing (raw[k] ↔
+    filt[k] ↔ the file's single pointmap) — the layout simple exports use.
+
+    Writes {raw_pc, filt_pc, map_pc(+normals), loc_stamp, map_stamp} shards +
+    ``index.json`` (the metadata.csv equivalent); returns the index dict.
     """
+    from mm_masking_tpu.data.pose_graph import (
+        INVALID_ID,
+        GraphError,
+        PoseGraph,
+        parse_pointmap_ptr_msg,
+    )
+
     os.makedirs(out_dir, exist_ok=True)
+    graph = PoseGraph.from_dir(graph_dir)
+    index = {"frames": [], "max_loc": 0, "max_map": 0}
+
+    if graph.number_of_vertices > 0:
+        run = repeat_run if repeat_run is not None else max(graph.runs())
+        v_start = graph.get_vertex((run, 0))
+        n_frames = 0
+        for loc_v, e in graph.temporal_iterator(v_start):
+            if limit > 0 and n_frames >= limit:
+                break
+            if e.from_id == INVALID_ID:
+                continue
+            try:
+                teach_v = graph.closest_teach_vertex(loc_v)
+                map_vid = parse_pointmap_ptr_msg(
+                    graph.get_data(teach_v, "pointmap_ptr")
+                )
+                map_v = graph.get_vertex(map_vid)
+                map_msg = parse_vtr_pointcloud_msg(
+                    graph.get_data(map_v, "pointmap")
+                )
+                filt = parse_vtr_pointcloud_msg(
+                    graph.get_data(loc_v, msg_prefix + "filtered_point_cloud")
+                )
+                try:
+                    raw = parse_vtr_pointcloud_msg(
+                        graph.get_data(loc_v, msg_prefix + "raw_point_cloud")
+                    )
+                except GraphError:
+                    raw = filt
+            except GraphError as err:
+                print(f"convert: skipping vertex {loc_v.id} — {err}")
+                continue
+            shard = {
+                "raw_pc": raw["points"][:, :3],
+                "filt_pc": filt["points"][:, :3],
+                "loc_stamp": np.int64(filt["stamp"] // 1000),
+                **_transformed_map_shard(map_msg),
+            }
+            _write_shard(out_dir, index, shard)
+            n_frames += 1
+    else:
+        _convert_flat(graph_dir, out_dir, msg_prefix, limit, index)
+
+    with open(osp.join(out_dir, "index.json"), "w") as f:
+        json.dump(index, f)
+    return index
+
+
+def _convert_flat(graph_dir: str, out_dir: str, msg_prefix: str, limit: int,
+                  index: dict):
+    """Flat stream pairing for bags without vertex/edge topics."""
     db_files = sorted(
         osp.join(root, f)
         for root, _, files in os.walk(graph_dir)
         for f in files
         if f.endswith(".db3")
     )
-    if not db_files:
-        raise FileNotFoundError(f"no rosbag2 .db3 files under {graph_dir}")
-
-    index = {"frames": [], "max_loc": 0, "max_map": 0}
     n_frames = 0
     for db in db_files:
-        reader = Rosbag2Reader(db)
+        try:
+            reader = Rosbag2Reader(db)
+        except sqlite3.DatabaseError as e:
+            print(f"convert: skipping unreadable bag {db}: {e}")
+            continue
         names = reader.topics()
-        raw_t = next((t for t in names if t.endswith(msg_prefix + "raw_point_cloud")), None)
-        filt_t = next((t for t in names if t.endswith(msg_prefix + "filtered_point_cloud")), None)
+        raw_t = next(
+            (t for t in names if t.endswith(msg_prefix + "raw_point_cloud")), None
+        )
+        filt_t = next(
+            (t for t in names if t.endswith(msg_prefix + "filtered_point_cloud")),
+            None,
+        )
         map_t = next((t for t in names if t.endswith("pointmap")), None)
         if filt_t is None:
             reader.close()
@@ -257,8 +384,15 @@ def convert_graph(
         filts = list(reader.messages(filt_t))
         maps = list(reader.messages(map_t)) if map_t else []
         reader.close()
+        if raws and len(raws) != len(filts):
+            print(
+                f"convert: {db} raw/filtered stream lengths differ "
+                f"({len(raws)} vs {len(filts)}); using filtered for both"
+            )
+            raws = []
 
         map_msg = parse_vtr_pointcloud_msg(maps[0][1]) if maps else None
+        map_part = _transformed_map_shard(map_msg) if map_msg else {}
         for k, (ts, blob) in enumerate(filts):
             if limit > 0 and n_frames >= limit:
                 break
@@ -268,26 +402,7 @@ def convert_graph(
                 "raw_pc": raw["points"][:, :3],
                 "filt_pc": filt["points"][:, :3],
                 "loc_stamp": np.int64(filt["stamp"] // 1000),
+                **map_part,
             }
-            if map_msg is not None:
-                T_m_v = se3_exp_np(map_msg["xi"])
-                pts = map_msg["points"][:, :3] @ T_m_v[:3, :3].T + T_m_v[:3, 3]
-                T_rot = se3_exp_np(
-                    np.concatenate([np.zeros(3), map_msg["xi"][3:]])
-                )
-                nrm = map_msg["points"][:, 3:6] @ T_rot[:3, :3].T
-                shard["map_pc"] = np.concatenate([pts, nrm], axis=-1).astype(
-                    np.float32
-                )
-                shard["map_stamp"] = np.int64(map_msg["stamp"] // 1000)
-            name = f"frame_{int(shard['loc_stamp'])}.npz"
-            np.savez_compressed(osp.join(out_dir, name), **shard)
-            index["frames"].append(name)
-            index["max_loc"] = max(index["max_loc"], shard["raw_pc"].shape[0])
-            if "map_pc" in shard:
-                index["max_map"] = max(index["max_map"], shard["map_pc"].shape[0])
+            _write_shard(out_dir, index, shard)
             n_frames += 1
-
-    with open(osp.join(out_dir, "index.json"), "w") as f:
-        json.dump(index, f)
-    return index

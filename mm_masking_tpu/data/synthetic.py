@@ -39,14 +39,14 @@ class SyntheticSpec:
     # bright in the FFT image) but absent from the map — the structured noise
     # the learned mask exists to suppress.
     clutter_frac: float = 0.0
+    # Scene geometry: "scatter" (uniform random scatterers, round-1 behavior)
+    # or "walls" (line-segment structures + multipath ghost clutter, the
+    # learning-demo regime — see `_walls_scene`).
+    scene: str = "scatter"
 
 
-def synthetic_batch(seed: int, batch: int, spec: SyntheticSpec = SyntheticSpec()):
-    """Returns (batch dict mirroring the dataset item structure, T_gt = I)."""
-    rng = np.random.default_rng(seed)
-    A, R = spec.polar_shape
-
-    # Scatterers: radial walls + random clutter, planar (z = 0).
+def _scatter_scene(rng, batch, spec):
+    """Round-1 scene: uniform random scatterers + uniform random clutter."""
     n_real_scan = int(spec.n_scan * 0.9)
     n_real_map = int(spec.n_map * 0.9)
 
@@ -64,7 +64,6 @@ def synthetic_batch(seed: int, batch: int, spec: SyntheticSpec = SyntheticSpec()
     nrm[..., 2] *= 0.05
     nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
     nrm[:, n_real_map:] = TARGET_PAD_VAL
-    map_pc = np.concatenate([map_pts, nrm], axis=-1)
 
     # Scan: subsample of map scatterers + noise; gt_eye convention (map already
     # aligned into the scan frame, T_gt = identity).
@@ -83,6 +82,113 @@ def synthetic_batch(seed: int, batch: int, spec: SyntheticSpec = SyntheticSpec()
         scan[:, :n_clutter, 0] = (cr * np.cos(ca)).astype(np.float32)
         scan[:, :n_clutter, 1] = (cr * np.sin(ca)).astype(np.float32)
         scan[:, :n_clutter, 2] = 0.0
+    clutter = np.zeros((batch, spec.n_scan), bool)
+    clutter[:, :n_clutter] = True
+    clutter[:, n_real_scan:] = False
+    return map_pts, nrm, n_real_map, scan, n_real_scan, clutter
+
+
+def _walls_scene(rng, batch, spec):
+    """Learning-demo scene: line-segment walls + multipath ghost clutter.
+
+    Why this regime makes the learned mask *matter* (unlike random scatter):
+
+    * Walls give point-to-plane ICP a well-conditioned, convex-ish basin —
+      with clean weights the solver recovers the pose to ~noise level, so
+      the pose loss actually carries gradient signal.
+    * Ghosts are radially displaced copies of real returns concentrated in
+      one angular sector — the radar multipath signature. Unlike uniform
+      clutter (which averages out), the coherent sector pulls the unweighted
+      solution in one direction: a systematic bias Cauchy alone cannot
+      remove (ghost residuals ~2-3.5 m sit inside trim_dist=5 where the
+      robust weight is still ~0.1-0.3).
+    * Ghosts render dim in the FFT image (0.15-0.35 vs 0.6-1.0) — the
+      appearance cue the UNet can key on, as real saturated/multipath
+      returns are distinguishable on Navtech scans.
+    """
+    n_real_scan = int(spec.n_scan * 0.9)
+    n_real_map = int(spec.n_map * 0.9)
+    n_clutter = int(spec.clutter_frac * n_real_scan)
+    n_true = n_real_scan - n_clutter
+
+    map_pts = np.full((batch, spec.n_map, 3), TARGET_PAD_VAL, np.float32)
+    nrm = np.full((batch, spec.n_map, 3), TARGET_PAD_VAL, np.float32)
+    scan = np.zeros((batch, spec.n_scan, 3), np.float32)
+    clutter = np.zeros((batch, spec.n_scan), bool)
+    clutter[:, :n_clutter] = True
+
+    for b in range(batch):
+        n_walls = rng.integers(8, 15)
+        # Wall anchor points ring the sensor; orientations are uniform so the
+        # normal directions jointly constrain x, y, and yaw.
+        anchor_r = rng.uniform(spec.min_range + 6.0, spec.max_range - 8.0, n_walls)
+        anchor_a = rng.uniform(0, 2 * np.pi, n_walls)
+        anchors = np.stack(
+            [anchor_r * np.cos(anchor_a), anchor_r * np.sin(anchor_a)], axis=-1
+        )
+        theta = rng.uniform(0, np.pi, n_walls)
+        tangents = np.stack([np.cos(theta), np.sin(theta)], axis=-1)
+        normals2d = np.stack([-np.sin(theta), np.cos(theta)], axis=-1)
+        lengths = rng.uniform(10.0, 35.0, n_walls)
+
+        def sample_on_walls(n):
+            w = rng.integers(0, n_walls, n)
+            t = rng.uniform(-0.5, 0.5, n)
+            pts = anchors[w] + tangents[w] * (t * lengths[w])[:, None]
+            return pts.astype(np.float32), normals2d[w].astype(np.float32)
+
+        mp, mn = sample_on_walls(n_real_map)
+        map_pts[b, :n_real_map, :2] = mp
+        map_pts[b, :n_real_map, 2] = 0.0
+        nrm[b, :n_real_map, :2] = mn
+        nrm[b, :n_real_map, 2] = 0.0
+
+        sp, _ = sample_on_walls(n_true)
+        sp = sp + rng.normal(0, spec.noise, sp.shape).astype(np.float32)
+        scan[b, n_clutter:n_real_scan, :2] = sp
+
+        if n_clutter:
+            # Ghosts: real wall returns inside a ~120° sector, pushed
+            # radially outward by 1.5-3.5 m (inside trim_dist, outside the
+            # Cauchy core) — a coherent pull on the unweighted solution.
+            sector = rng.uniform(0, 2 * np.pi)
+            src, _ = sample_on_walls(4 * n_clutter)
+            ang = np.arctan2(src[:, 1], src[:, 0])
+            d_ang = np.abs((ang - sector + np.pi) % (2 * np.pi) - np.pi)
+            order = np.argsort(d_ang)
+            src = src[order[:n_clutter]]
+            r = np.linalg.norm(src, axis=-1, keepdims=True)
+            delta = rng.uniform(1.5, 3.5, (n_clutter, 1)).astype(np.float32)
+            ghost = src * (1.0 + delta / np.maximum(r, 1e-3))
+            scan[b, :n_clutter, :2] = ghost
+
+    return map_pts, nrm, n_real_map, scan, n_real_scan, clutter
+
+
+def synthetic_batch(
+    seed: int,
+    batch: int,
+    spec: SyntheticSpec = SyntheticSpec(),
+    with_oracle: bool = False,
+):
+    """Returns a batch dict mirroring the dataset item structure (T_gt = I).
+
+    With ``with_oracle`` the loc_data carries ``oracle_weights`` (1 for real
+    returns, 0 for clutter/pads) — the upper bound a learned mask can reach,
+    used by feasibility checks and tests, never by training itself.
+    """
+    rng = np.random.default_rng(seed)
+    A, R = spec.polar_shape
+
+    if spec.scene == "walls":
+        map_pts, nrm, n_real_map, scan, n_real_scan, clutter = _walls_scene(
+            rng, batch, spec
+        )
+    else:
+        map_pts, nrm, n_real_map, scan, n_real_scan, clutter = _scatter_scene(
+            rng, batch, spec
+        )
+    map_pc = np.concatenate([map_pts, nrm], axis=-1)
 
     # Polar FFT image: splat scan returns into (azimuth, range) bins.
     fft = (0.05 * rng.random((batch, A, R)) ** 2).astype(np.float32)
@@ -145,4 +251,9 @@ def synthetic_batch(seed: int, batch: int, spec: SyntheticSpec = SyntheticSpec()
         "map_data": {"pc": jnp.asarray(map_pc)},
         "transforms": {"T_ml_init": T_init, "T_ml_gt": T_gt},
     }
+    if with_oracle:
+        real = np.zeros((batch, spec.n_scan), np.float32)
+        real[:, :n_real_scan] = 1.0
+        real[clutter] = 0.0
+        batch_dict["loc_data"]["oracle_weights"] = jnp.asarray(real)
     return batch_dict

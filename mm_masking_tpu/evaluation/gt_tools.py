@@ -136,3 +136,69 @@ def eval_odometry_run(est_path: str, odo_gt_csv: str,
     """
     return eval_localization_run(est_path, odo_gt_csv, odo_gt_csv,
                                  out_gt_path=out_gt_path, tol_us=tol_us)
+
+
+def extract_localization_gt(
+    bag_file: str,
+    loc_gt_csv: str,
+    map_gt_csv: str,
+    out_path: str,
+    topic: str = "localization_result",
+    precision: float = 1e7,
+) -> int:
+    """v1 GT-extraction flow (`utils/extract_odo_gt.py:54-129` /
+    `extract_loc_gt.py`): decode ``localization_result`` messages straight out
+    of a VTR result bag (no rclpy — `data.convert.parse_localization_result`),
+    join each against the Applanix GT pose dictionaries bucketed at
+    ``timestamp_ns / precision``, and write rows
+
+        <query_ts_us> <map_vertex_ts_us> <12 row-major entries of
+        inv(T_enu_loc[query]) @ T_enu_map[vertex]>
+
+    (the reference stores that product unchanged despite naming the variable
+    ``T_map_test`` — reproduced as-is). Messages whose timestamp has no GT
+    bucket are skipped with a warning, as the reference does. Returns the
+    number of rows written.
+    """
+    from mm_masking_tpu.data.convert import (
+        Rosbag2Reader,
+        parse_localization_result,
+    )
+
+    loc_poses, loc_times = read_traj_file_gt2(loc_gt_csv, dim=2)
+    map_poses, map_times = read_traj_file_gt2(map_gt_csv, dim=2)
+    # µs → ns → precision buckets (the reference keys frame.timestamp·1e9/1e7).
+    loc_by_key = {int(t * 1000 / precision): P
+                  for t, P in zip(loc_times, loc_poses)}
+    map_by_key = {int(t * 1000 / precision): P
+                  for t, P in zip(map_times, map_poses)}
+
+    reader = Rosbag2Reader(bag_file)
+    try:
+        topic_name = next(t for t in reader.topics() if t.endswith(topic))
+        messages = [parse_localization_result(blob)
+                    for _, blob in reader.messages(topic_name)]
+    finally:
+        reader.close()
+
+    rows = []
+    for msg in messages:
+        k_loc = int(msg["timestamp"] / precision)
+        k_map = int(msg["vertex_timestamp"] / precision)
+        if k_loc not in loc_by_key:
+            print(f"WARNING: time stamp not found 1: {k_loc}")
+            continue
+        if k_map not in map_by_key:
+            print(f"WARNING: time stamp not found 2: {k_map}")
+            continue
+        T = get_inverse_tf(loc_by_key[k_loc]) @ map_by_key[k_map]
+        rows.append(
+            [msg["timestamp"] // 1000, msg["vertex_timestamp"] // 1000]
+            + [float(v) for v in T.ravel()[:12]]
+        )
+
+    os.makedirs(osp.dirname(osp.abspath(out_path)), exist_ok=True)
+    with open(out_path, "w") as f:
+        for row in rows:
+            f.write(" ".join(str(v) for v in row) + "\n")
+    return len(rows)

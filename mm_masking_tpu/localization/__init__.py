@@ -2,6 +2,7 @@ from mm_masking_tpu.localization.pipeline import (
     LocalizationConfig,
     localize_frame,
     localize_sequence,
+    localize_sequence_to_traj,
     project_map,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "LocalizationConfig",
     "localize_frame",
     "localize_sequence",
+    "localize_sequence_to_traj",
     "project_map",
 ]

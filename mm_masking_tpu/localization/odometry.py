@@ -39,6 +39,24 @@ class OdometryConfig:
     voxel_size: float = 0.5
     max_map_pts: int = 8192
     normals_k: int = 8
+    # ICP warm start: "constant_velocity" extrapolates the last inter-frame
+    # motion (the discrete-time analogue of the reference's WNOA/STEAM
+    # trajectory prior, `radar_config.yaml:160-188` — white-noise-on-
+    # acceleration means constant velocity is the MAP extrapolation);
+    # "constant_position" reuses the previous pose (round-1 behavior).
+    motion_prior: str = "constant_velocity"
+    # MC-RANSAC pre-filter (`radar_config.yaml:140-158`, disabled there too):
+    # RANSAC over NN correspondences before ICP. `filter_pc` zeroes scan
+    # points outside the RANSAC consensus (rejects gross clutter the robust
+    # loss would otherwise drag in). `init_icp` warm-starts ICP from the
+    # RANSAC pose — only meaningful with appearance-based correspondences
+    # (the C++ module's ORB path); over NN pairs the consensus is ≈ the warm
+    # start itself, so it defaults off.
+    use_mcransac: bool = False
+    mcransac_init_icp: bool = False
+    mcransac_filter_pc: bool = True
+    mcransac_tolerance: float = 0.1225
+    mcransac_iterations: int = 100
 
 
 def _icp_cfg(cfg: OdometryConfig) -> ICPConfig:
@@ -57,6 +75,33 @@ def register_frame(scan: jax.Array, map_pc: jax.Array, T_init: jax.Array,
                    cfg: OdometryConfig):
     """Align one scan (1, N, 3) against the local map (1, M, 3/6)."""
     valid = ~((scan[..., 0] == 0.0) & (scan[..., 1] == 0.0))
+    if cfg.use_mcransac:
+        from mm_masking_tpu.ops.mcransac import (
+            RansacConfig,
+            mcransac,
+            ransac_filter_pc,
+        )
+        from mm_masking_tpu.ops.pallas.nn_assoc import nn_argmin
+
+        p = (
+            jnp.einsum("bij,bnj->bni", T_init[:, :3, :3], scan,
+                       precision="highest")
+            + T_init[:, None, :3, 3]
+        )
+        idx, d2 = nn_argmin(p, map_pc[..., :3])
+        tgt = jnp.take_along_axis(map_pc[..., :3], idx[..., None], axis=1)
+        pairs_ok = valid & (d2 < cfg.trim_dist**2)
+        res = mcransac(
+            p, tgt, pairs_ok,
+            RansacConfig(tolerance=cfg.mcransac_tolerance,
+                         iterations=cfg.mcransac_iterations),
+        )
+        if cfg.mcransac_init_icp:
+            T_init = jnp.matmul(res["T"].astype(T_init.dtype), T_init,
+                                precision="highest")
+        if cfg.mcransac_filter_pc:
+            scan = ransac_filter_pc(scan, res["inliers"])
+            valid = valid & res["inliers"]
     out = icp(scan, map_pc, T_init, weight=valid.astype(scan.dtype),
               cfg=_icp_cfg(cfg))
     return out["T"]
@@ -95,12 +140,34 @@ class TeachPass:
         self.cfg = cfg
         self.map_pts: jax.Array | None = None  # (M, 3) world frame
         self.T_world_robot = jnp.eye(4)[None]  # (1, 4, 4)
+        self.T_prev = None  # previous pose, for the velocity estimate
         self.T_last_key = jnp.eye(4)[None]
         self.trajectory: list[np.ndarray] = []
+        self.stamps: list[int] = []
         self.n_keyframes = 0
         self._register = jax.jit(
             lambda s, m, T: register_frame(s, m, T, cfg)
         )
+
+    def _warm_start(self) -> jax.Array:
+        """ICP initial guess from the motion prior."""
+        if (
+            self.cfg.motion_prior != "constant_velocity"
+            or self.T_prev is None
+        ):
+            return self.T_world_robot
+        # T_init = T_k · (T_{k-1}⁻¹ · T_k): replay the last inter-frame motion.
+        delta = se3_inv(self.T_prev) @ self.T_world_robot
+        return self.T_world_robot @ delta
+
+    def velocity_estimate(self, dt: float = 0.25) -> jax.Array:
+        """Planar body-frame velocity (vx, vy) from the last inter-frame
+        motion — feeds `ops.detectors.doppler_shift` (β=0.049 correction) in
+        the extraction path."""
+        if self.T_prev is None:
+            return jnp.zeros(2)
+        delta = (se3_inv(self.T_prev) @ self.T_world_robot)[0]
+        return delta[:2, 3] / dt
 
     def map_with_normals(self) -> jax.Array:
         """(1, M, 6) current map with estimated normals (for pt2pl loc)."""
@@ -109,9 +176,11 @@ class TeachPass:
         nrm = jnp.where(pad[None, :, None], TARGET_PAD_VAL, nrm)
         return jnp.concatenate([self.map_pts[None], nrm], axis=-1)
 
-    def process(self, scan: jax.Array) -> jax.Array:
+    def process(self, scan: jax.Array, stamp_us: int | None = None) -> jax.Array:
         """Feed one scan cloud (N, 3), world pose (4, 4) returned."""
         scan = scan[None] if scan.ndim == 2 else scan
+        if stamp_us is not None:
+            self.stamps.append(int(stamp_us))
         if self.map_pts is None:
             # Bootstrap: first frame seeds the map at the origin.
             init = jnp.full((self.cfg.max_map_pts, 3), TARGET_PAD_VAL,
@@ -122,8 +191,9 @@ class TeachPass:
             return jnp.eye(4)
 
         # Register against the map in the world frame, warm-started from the
-        # last pose (constant-position prior).
-        T = self._register(scan, self.map_pts[None], self.T_world_robot)
+        # motion prior.
+        T = self._register(scan, self.map_pts[None], self._warm_start())
+        self.T_prev = self.T_world_robot
         self.T_world_robot = T
         self.trajectory.append(np.asarray(T[0]))
 

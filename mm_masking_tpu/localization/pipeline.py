@@ -158,19 +158,93 @@ def localize_frame(
     }
 
 
-def localize_sequence(frames, map_pc, cfg=LocalizationConfig(), T_inits=None):
-    """Localize a list of frame dicts ({'fft','azimuths','az_times'}) against
-    one map. Returns stacked results."""
-    results = []
-    for i, fr in enumerate(frames):
-        T0 = (
-            T_inits[i]
-            if T_inits is not None
-            else jnp.broadcast_to(jnp.eye(4), (fr["fft"].shape[0], 4, 4))
-        )
-        results.append(
-            localize_frame(
-                fr["fft"], fr["azimuths"], fr["az_times"], map_pc, T0, cfg
-            )
-        )
-    return results
+_localize_frame_jit = jax.jit(
+    localize_frame,
+    static_argnames=("cfg", "mask_cart_resolution", "mask_cart_width"),
+)
+
+
+def localize_sequence(
+    frames,
+    map_pc,
+    cfg: LocalizationConfig = LocalizationConfig(),
+    T_inits=None,
+    batch_size: int = 8,
+    mesh=None,
+):
+    """Localize a whole sequence against one map, batching frames through a
+    single jitted `localize_frame` program (replaces the reference's 6-way
+    bash process fan-out, `run_parallel_test.sh:66-101`).
+
+    frames: either a dict of stacked arrays {'fft' (F, A, R), 'azimuths'
+    (F, A), 'az_times' (F, A)} or a list of per-frame dicts (stacked here).
+    Frames are independent, so they ride the *batch* axis — chunks of
+    ``batch_size`` frames per device program, optionally sharded over a data
+    mesh so every chip localizes its own slice.
+
+    Returns a dict of stacked results over all F frames
+    ({'T', 'points', 'weights', 'matched_ratio', 'ok'}).
+    """
+    if isinstance(frames, (list, tuple)):
+        frames = {
+            k: jnp.stack([jnp.asarray(fr[k])[0] if fr[k].ndim > (2 if k == "fft" else 1)
+                          else jnp.asarray(fr[k]) for fr in frames])
+            for k in ("fft", "azimuths", "az_times")
+        }
+    F = frames["fft"].shape[0]
+    if T_inits is None:
+        T_inits = jnp.broadcast_to(jnp.eye(4), (F, 4, 4))
+    if map_pc.ndim == 2:
+        map_pc = map_pc[None]
+
+    pad = (-F) % batch_size
+    def pad_f(x):
+        return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)]) if pad else x
+
+    fft = pad_f(frames["fft"])
+    az = pad_f(frames["azimuths"])
+    azt = pad_f(frames["az_times"])
+    T0 = pad_f(T_inits)
+    map_b = jnp.broadcast_to(map_pc, (batch_size,) + map_pc.shape[1:])
+
+    chunks = []
+    for s in range(0, F + pad, batch_size):
+        args = (fft[s : s + batch_size], az[s : s + batch_size],
+                azt[s : s + batch_size], map_b, T0[s : s + batch_size])
+        if mesh is not None:
+            from mm_masking_tpu.parallel.mesh import shard_batch
+
+            args = shard_batch(args, mesh)
+        chunks.append(_localize_frame_jit(*args, cfg=cfg))
+    out = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:F], *chunks)
+    return out
+
+
+def localize_sequence_to_traj(
+    frames,
+    map_pc,
+    times_us,
+    out_path: str,
+    cfg: LocalizationConfig = LocalizationConfig(),
+    T_inits=None,
+    batch_size: int = 8,
+    mesh=None,
+) -> dict:
+    """Run :func:`localize_sequence` and write a trajectory file that
+    `evaluation.gt_tools.eval_localization_run` consumes (closing the
+    data-gen → eval seam the reference drives through
+    `run_eval.sh` → `extract_loc_gt_v2.py`).
+
+    The solver's ``T`` maps scan→map (``p_map ≈ T p_loc``, i.e. T_map_loc);
+    trajectory rows carry ``T_loc_map`` per the GT tools' convention.
+    """
+    import numpy as np
+
+    from mm_masking_tpu.evaluation.gt_tools import write_traj_file
+    from mm_masking_tpu.geom import se3_inv
+
+    out = localize_sequence(frames, map_pc, cfg=cfg, T_inits=T_inits,
+                            batch_size=batch_size, mesh=mesh)
+    T_loc_map = np.asarray(se3_inv(out["T"]))
+    write_traj_file(out_path, list(T_loc_map), [int(t) for t in times_us])
+    return out

@@ -53,6 +53,13 @@ def main(argv=None):
     ap.add_argument("--synthetic", action="store_true",
                     help="train on generated data (no Boreas tree needed)")
     ap.add_argument("--synthetic-frames", type=int, default=64)
+    ap.add_argument("--scene", default="scatter", choices=["scatter", "walls"],
+                    help="synthetic scene family (walls = multipath-ghost "
+                         "learning-demo regime)")
+    ap.add_argument("--clutter-frac", type=float, default=0.0,
+                    help="fraction of scan returns that are clutter/ghosts")
+    ap.add_argument("--scene-noise", type=float, default=0.02,
+                    help="scan point noise std (m)")
     ap.add_argument("--set", action="append", default=[], metavar="SEC.FIELD=V",
                     help="config override, e.g. --set train.num_epochs=5")
     args = ap.parse_args(argv)
@@ -73,6 +80,8 @@ def main(argv=None):
             res=cfg.model.res, cart_resolution=cfg.model.cart_resolution,
             pos_std=cfg.data.pos_std, rot_std=cfg.data.rot_std,
             network_input_type=cfg.model.network_input_type,
+            scene=args.scene, clutter_frac=args.clutter_frac,
+            noise=args.scene_noise,
         )
         bt = cfg.train.batch_size_train
         bv = cfg.train.batch_size_test

@@ -55,7 +55,11 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
         raise ValueError(t.optimizer)
     if t.clip_value > 0.0:
         tx = optax.chain(optax.clip(t.clip_value), tx)
-    return tx
+    # Backprop through the unrolled GN solve can spike to non-finite grads
+    # when the learned weights collapse a batch's system to near-singular;
+    # dropping those updates keeps one bad step from NaN-poisoning the run
+    # (observed: a walls-scene run died at epoch 3 and flatlined without this).
+    return optax.apply_if_finite(tx, max_consecutive_errors=100)
 
 
 class Trainer:
@@ -182,8 +186,9 @@ class Trainer:
         """Validation pass; optionally dump the reference's image artifact set
         (learned masks each logged epoch; raw BEV/CFAR/FFT-threshold/map-BEV
         masks at the pre-train epoch −1 — `train_icp_weights.py:109-169`)."""
-        errs, num_pc, ws = [], [], []
-        max_w, min_w = 0.0, 1000.0
+        # Accumulate on device; one host readback after the last batch (a
+        # per-batch float() would serialize device work on every step).
+        errs, num_pc, ws, max_ws, min_ws = [], [], [], [], []
         n = 0
         for batch in batches:
             batch = shard_batch(batch, self.mesh)
@@ -191,13 +196,19 @@ class Trainer:
             if dump_artifacts and n == 0:
                 self._dump_artifacts(batch, mask, epoch)
             errs.append(err)
-            num_pc.append(float(stats.mean_num_non0))
-            ws.append(float(stats.mean_w))
-            max_w = max(max_w, float(stats.max_w))
-            min_w = min(min_w, float(stats.min_w))
+            num_pc.append(stats.mean_num_non0)
+            ws.append(stats.mean_w)
+            max_ws.append(stats.max_w)
+            min_ws.append(stats.min_w)
             n += 1
         err = jnp.mean(jnp.stack(errs), axis=0)
-        return err, sum(num_pc) / n, sum(ws) / n, max_w, min_w
+        return (
+            err,
+            float(jnp.mean(jnp.stack(num_pc))),
+            float(jnp.mean(jnp.stack(ws))),
+            float(jnp.max(jnp.stack(max_ws))),
+            float(jnp.min(jnp.stack(min_ws))),
+        )
 
     def _dump_artifacts(self, batch, mask, epoch: int | None):
         from mm_masking_tpu.utils.visualize import save_mask_image
@@ -275,14 +286,18 @@ class Trainer:
                     cart_pixel_width=cfg.model.cart_pixel_width,
                     cart_resolution=cfg.model.cart_resolution,
                 )
-                loss_init_hist.append(float(li))
-                loss_ones_hist.append(float(lo))
+                loss_init_hist.append(li)
+                loss_ones_hist.append(lo)
             else:
                 li = eval_validation_loss(T_init, T_gt, gt_eye=cfg.model.gt_eye)
                 lo = eval_validation_loss(out.T_pred, T_gt, gt_eye=cfg.model.gt_eye)
-                loss_init_hist.append(float(li[0]))
-                loss_ones_hist.append(float(lo[0]))
-        return float(np.mean(loss_init_hist)), float(np.mean(loss_ones_hist))
+                loss_init_hist.append(li[0])
+                loss_ones_hist.append(lo[0])
+        # Device arrays accumulate without syncing; read back once.
+        return (
+            float(jnp.mean(jnp.stack(loss_init_hist))),
+            float(jnp.mean(jnp.stack(loss_ones_hist))),
+        )
 
     # ---------------------------------------------------------------- resume
     def resume(self, state: TrainState | None = None) -> TrainState:

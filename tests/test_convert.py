@@ -164,3 +164,174 @@ def test_rosbag_reader(tmp_path):
     assert msgs[0][0] == 7
     out = parse_pointcloud2(CdrReader(msgs[0][1]))
     assert out["points"].shape[0] == 3
+
+
+# ---------------------------------------------------------------------------
+# Pose-graph walk (reference semantics: icp_weight_dataset.py:150-165)
+# ---------------------------------------------------------------------------
+from mm_masking_tpu.data.pose_graph import (  # noqa: E402
+    INVALID_ID,
+    SPATIAL,
+    TEMPORAL,
+    GraphError,
+    PoseGraph,
+    encode_edge_msg,
+    encode_pointmap_ptr_msg,
+    encode_vertex_msg,
+    vid_pack,
+)
+
+
+def make_typed_bag(path, topics):
+    """topics: {name: (type_str, [(ts, blob), ...])}"""
+    conn = sqlite3.connect(path)
+    c = conn.cursor()
+    c.execute("CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, "
+              "type TEXT, serialization_format TEXT, "
+              "offered_qos_profiles TEXT)")
+    c.execute("CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER,"
+              " timestamp INTEGER, data BLOB)")
+    for tid, (name, (type_, msgs)) in enumerate(topics.items(), start=1):
+        c.execute("INSERT INTO topics VALUES (?,?,?,?,?)",
+                  (tid, name, type_, "cdr", ""))
+        for ts, blob in msgs:
+            c.execute("INSERT INTO messages VALUES (?,?,?,?)", (None, tid, ts, blob))
+    conn.commit()
+    conn.close()
+
+
+def _build_two_run_graph(graph_dir, rng, n_repeat=5, broken_vertex=None):
+    """Teach run 0 with 2 map vertices; repeat run 1 with n_repeat vertices.
+
+    Repeat vertices alternate spatial edges between the two teach vertices,
+    whose pointmap_ptrs point at *different* map vertices. Returns
+    (map clouds by teach minor, repeat stamps).
+    """
+    os.makedirs(graph_dir, exist_ok=True)
+    teach_stamps = [100_000_000_000, 200_000_000_000]
+    maps = {}
+    vert_msgs, edge_msgs, ptr_msgs, map_msgs = [], [], [], []
+    for minor, ts in enumerate(teach_stamps):
+        vid = vid_pack(0, minor)
+        vert_msgs.append((ts, encode_vertex_msg(vid, ts)))
+        # pointmap_ptr points back at the teach vertex itself.
+        ptr_msgs.append((ts, encode_pointmap_ptr_msg(vid)))
+        pts = rng.normal(size=(30 + 10 * minor, 6)).astype(np.float32)
+        maps[minor] = pts
+        map_msgs.append((ts, encode_vtr_pointcloud(pts, np.zeros(6), ts)))
+        if minor > 0:
+            edge_msgs.append((ts, encode_edge_msg(
+                minor, TEMPORAL, vid_pack(0, minor - 1), vid)))
+    make_typed_bag(str(graph_dir / "run_000000.db3"), {
+        "/graph/vertexes": ("vtr/Vertex", vert_msgs),
+        "/graph/edges": ("vtr/Edge", edge_msgs),
+        "/vtr/pointmap_ptr": ("vtr/PtrMsg", ptr_msgs),
+        "/vtr/pointmap": ("vtr/PointCloudMsg", map_msgs),
+    })
+
+    rep_stamps = [(1_000_000 + i * 100_000) * 1000 for i in range(n_repeat)]
+    vert_msgs, edge_msgs, raw_msgs, filt_msgs = [], [], [], []
+    for i, ts in enumerate(rep_stamps):
+        vid = vid_pack(1, i)
+        vert_msgs.append((ts, encode_vertex_msg(vid, ts)))
+        if i > 0:
+            edge_msgs.append((ts, encode_edge_msg(
+                100 + i, TEMPORAL, vid_pack(1, i - 1), vid)))
+        if broken_vertex is None or i != broken_vertex:
+            # Spatial edge to alternating teach vertices.
+            edge_msgs.append((ts, encode_edge_msg(
+                200 + i, SPATIAL, vid, vid_pack(0, i % 2))))
+        pts = rng.normal(size=(20 + i, 6)).astype(np.float32)
+        raw_msgs.append((ts, encode_vtr_pointcloud(pts, np.zeros(6), ts)))
+        filt_msgs.append((ts, encode_vtr_pointcloud(pts[: 10 + i], np.zeros(6), ts)))
+    make_typed_bag(str(graph_dir / "run_000001.db3"), {
+        "/graph/vertexes": ("vtr/Vertex", vert_msgs),
+        "/graph/edges": ("vtr/Edge", edge_msgs),
+        "/vtr/radar_raw_point_cloud": ("vtr/PointCloudMsg", raw_msgs),
+        "/vtr/radar_filtered_point_cloud": ("vtr/PointCloudMsg", filt_msgs),
+    })
+    return maps, rep_stamps
+
+
+def test_graph_walk_multi_pointmap(tmp_path):
+    """Frames under different teach vertices pair with different pointmaps."""
+    rng = np.random.default_rng(3)
+    graph_dir = tmp_path / "graph"
+    out_dir = tmp_path / "shards"
+    maps, rep_stamps = _build_two_run_graph(graph_dir, rng)
+
+    index = convert_graph(str(graph_dir), str(out_dir))
+    # Vertex (1,0) has an invalid incoming edge (chain start) and is skipped,
+    # exactly like the reference's first-vertex skip.
+    assert len(index["frames"]) == 4
+    for i in (1, 2, 3, 4):
+        shard = np.load(out_dir / f"frame_{rep_stamps[i] // 1000}.npz")
+        want_map = maps[i % 2]
+        np.testing.assert_allclose(shard["map_pc"][:, :3], want_map[:, :3],
+                                   atol=1e-6)
+        assert shard["raw_pc"].shape[0] == 20 + i
+        assert shard["filt_pc"].shape[0] == 10 + i
+
+
+def test_graph_walk_skips_malformed_vertex(tmp_path):
+    """A repeat vertex with no spatial connection to the teach run is skipped
+    (reference GraphError path), the rest still convert."""
+    rng = np.random.default_rng(4)
+    graph_dir = tmp_path / "graph"
+    out_dir = tmp_path / "shards"
+    _, rep_stamps = _build_two_run_graph(graph_dir, rng, broken_vertex=2)
+
+    index = convert_graph(str(graph_dir), str(out_dir))
+    assert len(index["frames"]) == 3  # 4 valid minus the malformed one
+    assert f"frame_{rep_stamps[2] // 1000}.npz" not in index["frames"]
+
+
+def test_graph_walk_skips_corrupt_db3(tmp_path):
+    rng = np.random.default_rng(5)
+    graph_dir = tmp_path / "graph"
+    out_dir = tmp_path / "shards"
+    _build_two_run_graph(graph_dir, rng)
+    (graph_dir / "run_000002.db3").write_bytes(b"this is not a sqlite file")
+
+    g = PoseGraph.from_dir(str(graph_dir))
+    assert any("run_000002" in f for f in g.skipped_files)
+    index = convert_graph(str(graph_dir), str(out_dir))
+    assert len(index["frames"]) == 4
+
+
+def test_closest_teach_vertex_chain(tmp_path):
+    """Spatial chains through intermediate repeat runs still reach run 0."""
+    g = PoseGraph()
+    from mm_masking_tpu.data.pose_graph import Edge, Vertex
+    for vid, ts in ((vid_pack(0, 0), 10), (vid_pack(1, 0), 20),
+                    (vid_pack(2, 0), 30)):
+        g.vertices[vid] = Vertex(id=vid, stamp=ts)
+    # run2 → run1 → run0 spatial chain.
+    g.edges.append(Edge(1, SPATIAL, vid_pack(2, 0), vid_pack(1, 0),
+                        np.zeros(6)))
+    g.edges.append(Edge(2, SPATIAL, vid_pack(1, 0), vid_pack(0, 0),
+                        np.zeros(6)))
+    teach = g.closest_teach_vertex(g.get_vertex((2, 0)))
+    assert teach.id == vid_pack(0, 0)
+
+    g2 = PoseGraph()
+    g2.vertices[vid_pack(2, 0)] = Vertex(id=vid_pack(2, 0), stamp=1)
+    import pytest
+    with pytest.raises(GraphError):
+        g2.closest_teach_vertex(g2.get_vertex((2, 0)))
+
+
+def test_temporal_iterator_sentinel():
+    from mm_masking_tpu.data.pose_graph import Edge, Vertex
+    g = PoseGraph()
+    for i in range(3):
+        vid = vid_pack(1, i)
+        g.vertices[vid] = Vertex(id=vid, stamp=1000 + i)
+        if i > 0:
+            g.edges.append(Edge(i, TEMPORAL, vid_pack(1, i - 1), vid,
+                                np.zeros(6)))
+    out = list(g.temporal_iterator(g.get_vertex((1, 0))))
+    assert len(out) == 3
+    assert out[0][1].from_id == INVALID_ID
+    assert out[1][1].from_id == vid_pack(1, 0)
+    assert out[2][1].from_id == vid_pack(1, 1)

@@ -114,3 +114,75 @@ def test_eval_odometry_run(tmp_path):
     stats = eval_odometry_run(est, csv)
     assert stats["n_frames"] == 4
     assert stats["trans_rmse"] < 1e-9
+
+
+def test_extract_localization_gt_from_bag(tmp_path):
+    """v1 GT path: localization_result messages decoded straight from a bag
+    and joined with Applanix GT (`utils/extract_odo_gt.py` flow)."""
+    import sqlite3
+
+    import numpy as np
+
+    from mm_masking_tpu.data.convert import (
+        encode_localization_result,
+        parse_localization_result,
+    )
+    from mm_masking_tpu.evaluation.gt_tools import extract_localization_gt
+
+    # Round-trip the codec first.
+    blob = encode_localization_result(123_456_789_000, 987_000_000, 42,
+                                      np.diag([1.0, 1.0, 1.0, 1.0]))
+    msg = parse_localization_result(blob)
+    assert msg["timestamp"] == 123_456_789_000
+    assert msg["vertex_timestamp"] == 987_000_000
+    assert msg["vertex_id"] == 42
+    np.testing.assert_array_equal(msg["T_robot_vertex"], np.eye(4))
+
+    # GT CSVs: loc at (x=1..3), map vertex fixed at origin with heading 0.2.
+    loc_times_us = [2_000_000 + i * 250_000 for i in range(3)]
+    map_time_us = 1_000_000
+
+    def write_csv(path, rows):
+        with open(path, "w") as f:
+            f.write("GPSTime,easting,northing,altitude,vel_e,vel_n,vel_u,"
+                    "roll,pitch,heading\n")
+            for t_us, x, y, h in rows:
+                f.write(f"{t_us/1e6:.6f},{x},{y},0,0,0,0,0,0,{h}\n")
+
+    loc_csv = str(tmp_path / "loc.csv")
+    map_csv = str(tmp_path / "map.csv")
+    write_csv(loc_csv, [(t, 1.0 + i, 0.5, 0.0)
+                        for i, t in enumerate(loc_times_us)])
+    write_csv(map_csv, [(map_time_us, 0.0, 0.0, 0.2)])
+
+    # Bag: 3 result messages + one with an unmatched timestamp (skipped).
+    bag = str(tmp_path / "localization_result_0.db3")
+    conn = sqlite3.connect(bag)
+    c = conn.cursor()
+    c.execute("CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT, "
+              "type TEXT, serialization_format TEXT, offered_qos_profiles TEXT)")
+    c.execute("CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id INTEGER,"
+              " timestamp INTEGER, data BLOB)")
+    c.execute("INSERT INTO topics VALUES (1, 'localization_result', "
+              "'vtr_msgs/msg/LocalizationResult', 'cdr', '')")
+    for i, t_us in enumerate(loc_times_us):
+        c.execute("INSERT INTO messages VALUES (?,?,?,?)", (None, 1, t_us * 1000,
+                  encode_localization_result(t_us * 1000, map_time_us * 1000, 7)))
+    c.execute("INSERT INTO messages VALUES (?,?,?,?)", (None, 1, 999,
+              encode_localization_result(999_999_999_999_000, map_time_us * 1000, 7)))
+    conn.commit()
+    conn.close()
+
+    out = str(tmp_path / "gt" / "out.txt")
+    n = extract_localization_gt(bag, loc_csv, map_csv, out)
+    assert n == 3  # unmatched message skipped
+
+    rows = [line.split() for line in open(out)]
+    assert len(rows) == 3
+    assert int(rows[0][0]) == loc_times_us[0]
+    assert int(rows[0][1]) == map_time_us
+    # Row carries inv(T_enu_loc) @ T_enu_map: for loc at (1, 0.5, yaw 0) and
+    # map at (0, 0, yaw 0.2) the translation is (-1, -0.5).
+    T = np.asarray([float(v) for v in rows[0][2:14]]).reshape(3, 4)
+    np.testing.assert_allclose(T[:2, 3], [-1.0, -0.5], atol=1e-9)
+    np.testing.assert_allclose(T[0, 0], np.cos(0.2), atol=1e-9)

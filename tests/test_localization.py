@@ -61,3 +61,109 @@ def test_project_map_filters_elevation_and_normals():
     assert out[0, 0, 0] == 10.0
     assert np.all(out[0, 1] == 1000.0)
     assert np.all(out[0, 2] == 1000.0)
+
+
+def test_teach_localize_eval_end_to_end(tmp_path):
+    """Close the data-gen → eval seam in-process: TeachPass builds the map,
+    `localize_sequence_to_traj` batches jitted frame localization and writes a
+    trajectory file, `gt_tools.eval_localization_run` scores it against
+    Applanix-format GT CSVs (the flow the reference drives through
+    `run_test.sh` → `run_eval.sh` → `extract_loc_gt_v2.py`)."""
+    import os.path as osp
+
+    from mm_masking_tpu.evaluation.gt_tools import eval_localization_run
+    from mm_masking_tpu.geom import se3_exp, se3_inv
+    from mm_masking_tpu.localization import localize_sequence_to_traj
+    from mm_masking_tpu.localization.odometry import OdometryConfig, TeachPass
+
+    rng = np.random.default_rng(11)
+    n_world = 900
+    world = np.zeros((n_world, 3), np.float32)
+    r = rng.uniform(3, 13, n_world)
+    a = rng.uniform(0, 2 * np.pi, n_world)
+    world[:, 0] = r * np.cos(a)
+    world[:, 1] = r * np.sin(a)
+
+    def scan_at(T_wr, n=256, noise=0.01):
+        T_rw = np.asarray(se3_inv(jnp.asarray(T_wr)[None]))[0]
+        s = (world @ T_rw[:3, :3].T + T_rw[:3, 3]).astype(np.float32)
+        s += rng.normal(0, noise, s.shape).astype(np.float32)
+        s = s[np.linalg.norm(s[:, :2], axis=1) < 14.0][:n]
+        return np.pad(s, ((0, n - s.shape[0]), (0, 0)))
+
+    # --- teach: 4 frames along a straight path build the world map.
+    tp = TeachPass(OdometryConfig(max_map_pts=2048, voxel_size=0.25,
+                                  max_iterations=30))
+    T = np.eye(4)
+    for i in range(4):
+        tp.process(jnp.asarray(scan_at(T)))
+        T = np.asarray(se3_exp(jnp.asarray([0.4, 0.0, 0, 0, 0, 0.0]))) @ T
+
+    # --- repeat: 5 frames at planar poses (x, y, heading); synthesize polar
+    # scans from the world and localize against the teach map.
+    A, R = 128, 512  # 128 azimuths: extraction quantization ~0.012 rad std
+    res = 15.0 / R
+    reps = [(0.2 + 0.3 * i, 0.1 * i, 0.04 * i) for i in range(5)]
+    times = [2_000_000 + 100_000 * i for i in range(5)]
+    ffts, azs, azts, T_gt = [], [], [], []
+    az_grid = np.linspace(0, 2 * np.pi * (A - 1) / A, A).astype(np.float32)
+    for x, y, h in reps:
+        T_wr = np.eye(4)
+        T_wr[:2, :2] = [[np.cos(h), -np.sin(h)], [np.sin(h), np.cos(h)]]
+        T_wr[:2, 3] = [x, y]
+        T_gt.append(T_wr)
+        s = scan_at(T_wr, n=512)
+        fft = (0.03 * rng.random((A, R)) ** 2).astype(np.float32)
+        pr = np.linalg.norm(s[:, :2], axis=-1)
+        pa = np.mod(np.arctan2(s[:, 1], s[:, 0]), 2 * np.pi)
+        ok = pr > 0.5
+        ai = np.clip((pa / (2 * np.pi / A)).astype(int), 0, A - 1)[ok]
+        ri = np.clip((pr / res).astype(int), 0, R - 2)[ok]
+        fft[ai, ri] = rng.uniform(0.6, 1.0, ok.sum()).astype(np.float32)
+        ffts.append(fft)
+        azs.append(az_grid)
+        azts.append(np.zeros(A, np.float32))
+
+    frames = {
+        "fft": jnp.asarray(np.stack(ffts)),
+        "azimuths": jnp.asarray(np.stack(azs)),
+        "az_times": jnp.asarray(np.stack(azts)),
+    }
+    # Warm starts: GT perturbed by ~(0.2 m, 0.04 rad).
+    T_inits = jnp.asarray(np.stack(T_gt)) @ se3_exp(jnp.asarray(
+        [[0.15, -0.1, 0, 0, 0, 0.04]] * 5
+    ))
+    cfg = LocalizationConfig(
+        detector="modified_cacfar",
+        detector_kwargs=(("width", 21), ("guard", 2), ("maxr", 15.0)),
+        radar_resolution=res, max_points=512, beta=0.0,
+        icp_type="pt2pt", normal_threshold=1.0, refined_max_iter=50,
+    )
+    est_path = str(tmp_path / "loc_traj.txt")
+    out = localize_sequence_to_traj(
+        frames, tp.map_with_normals(), times, est_path, cfg=cfg,
+        T_inits=T_inits, batch_size=4,
+    )
+    assert np.asarray(out["T"]).shape == (5, 4, 4)
+
+    # --- GT CSVs (Applanix format): map = identity pose, loc = repeat poses.
+    def write_csv(path, rows):
+        with open(path, "w") as f:
+            f.write("GPSTime,easting,northing,altitude,vel_e,vel_n,vel_u,"
+                    "roll,pitch,heading\n")
+            for t_us, x, y, h in rows:
+                f.write(f"{t_us/1e6:.6f},{x},{y},0,0,0,0,0,0,{h}\n")
+
+    map_csv = str(tmp_path / "map_gt.csv")
+    loc_csv = str(tmp_path / "loc_gt.csv")
+    write_csv(map_csv, [(1_000_000, 0.0, 0.0, 0.0)])
+    write_csv(loc_csv, [(t, x, y, h) for t, (x, y, h) in zip(times, reps)])
+
+    stats = eval_localization_run(
+        est_path, map_csv, loc_csv,
+        out_gt_path=str(tmp_path / "aligned_gt.txt"),
+    )
+    assert stats["n_frames"] == 5
+    assert stats["trans_rmse"] < 0.15, stats
+    assert stats["rot_rmse"] < 0.03, stats
+    assert osp.exists(tmp_path / "aligned_gt.txt")

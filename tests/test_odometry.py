@@ -96,3 +96,42 @@ def test_teach_then_repeat_roundtrip():
     D = np.asarray(out["T"])[0] @ np.linalg.inv(T_true)
     assert np.linalg.norm(D[:2, 3]) < 0.1, D[:2, 3]
     assert abs(D[1, 0]) < 0.02
+
+
+def test_constant_velocity_prior_reduces_drift():
+    """WNOA-style warm start (constant-velocity extrapolation) must track a
+    fast constant-velocity path better than the constant-position warm start
+    when the per-frame ICP budget is tight (`radar_config.yaml:160-188` is the
+    capability bar)."""
+    world = make_world(seed=9, n=700)
+
+    def run(motion_prior):
+        cfg = OdometryConfig(max_map_pts=2048, voxel_size=0.3,
+                             max_iterations=4, motion_prior=motion_prior)
+        tp = TeachPass(cfg)
+        rng = np.random.default_rng(3)
+        T = np.eye(4)
+        errs = []
+        for i in range(8):
+            T_rw = np.asarray(se3_inv(jnp.asarray(T)[None]))[0]
+            scan = (world @ T_rw[:3, :3].T + T_rw[:3, 3]).astype(np.float32)
+            scan += rng.normal(0, 0.01, scan.shape).astype(np.float32)
+            scan = scan[np.linalg.norm(scan[:, :2], axis=1) < 28][:256]
+            scan = np.pad(scan, ((0, 256 - scan.shape[0]), (0, 0)))
+            T_est = np.asarray(tp.process(jnp.asarray(scan)))
+            errs.append(np.linalg.norm((T_est @ np.linalg.inv(T))[:2, 3]))
+            # Fast constant-velocity motion: 1.2 m + 0.05 rad per frame — more
+            # than a 4-iteration ICP recovers from a stale constant-position
+            # warm start, easily absorbed with a velocity extrapolation.
+            T = np.asarray(se3_exp(jnp.asarray([1.2, 0.06, 0, 0, 0, 0.05]))) @ T
+        # Skip the bootstrap frames: the first registration has no velocity
+        # history, so both priors start identically.
+        return float(np.max(errs[2:])), tp
+
+    cv_err, tp_cv = run("constant_velocity")
+    cp_err, _ = run("constant_position")
+    assert cv_err < 0.05, cv_err
+    assert cv_err < 0.2 * cp_err, (cv_err, cp_err)
+    # Velocity estimate reflects the body-frame step / dt.
+    v = np.asarray(tp_cv.velocity_estimate(dt=1.0))
+    assert 0.9 < np.linalg.norm(v) < 1.6, v
