@@ -4,11 +4,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Measures the jitted inference step (UNet mask → weight lookup → 50-iteration
 ICP localization) and the jitted training step (10-iter unrolled ICP + 6-term
-loss + backprop + optimizer) at reference operating shapes
-(640×640 cartesian input, batch 16 train / 32 eval — BASELINE.md), then reports
-combined scan-pairs/sec/chip. ``vs_baseline`` compares against the reference
-PyTorch pipeline measured on this host (stored in bench_baseline.json with
-provenance; the reference repo ships no numbers of its own — BASELINE.md).
+loss + backprop + optimizer) at reference operating shapes — 640×640
+cartesian input, batch 16 train / 32 eval, and the repo's own DataConfig
+cloud sizes n_scan=4096 / n_map=16384 (BASELINE.md; SURVEY §3.2 puts real
+clouds at O(10k)) — then reports combined scan-pairs/sec/chip plus an
+analytic MFU estimate. ``vs_baseline`` compares against the reference
+PyTorch pipeline measured on this host at the SAME shapes and batch sizes
+(bench_baseline.json, with provenance; the reference repo ships no numbers of
+its own — BASELINE.md).
+
+Set BENCH_FULL=1 to additionally time all five BASELINE.json configs
+(adds several compile-minutes; the headline run stays lean for the driver).
 """
 from __future__ import annotations
 
@@ -22,6 +28,10 @@ import jax.numpy as jnp
 from mm_masking_tpu.utils.cache import enable_compile_cache
 
 enable_compile_cache()
+
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16. The geometry/ICP path runs f32
+# (precision=highest), so bf16-peak-relative MFU is a conservative bound.
+PEAK_BF16 = 197e12
 
 
 def _force(out):
@@ -44,13 +54,45 @@ def time_fn(fn, *args, iters=8, warmup=2):
     return (time.perf_counter() - tic) / iters
 
 
+def unet_fwd_flops(width: int, enc=(8, 16, 32, 64, 128, 256), cin=1) -> float:
+    """Analytic UNet forward FLOPs (2·9·Cin·Cout per conv output element),
+    mirroring models/unet.py: pool after every encoder block except the
+    first; each decoder block applied twice (weight sharing)."""
+    total = 0.0
+    chans = [cin] + list(enc)
+    sizes = []  # spatial size each encoder block runs at
+    s = width
+    for i in range(len(enc)):
+        sizes.append(s)
+        total += 2 * 9 * (chans[i] * chans[i + 1] + chans[i + 1] ** 2) * s * s
+        if i > 0:
+            s //= 2
+    dec = list(reversed(enc))
+    skip_sizes = list(reversed(sizes))  # decoder stage i runs at skips[i] size
+    for i in range(len(dec) - 1):
+        s = skip_sizes[i]
+        cin_i, cout = dec[i], dec[i + 1]
+        # first application on upsampled features, second on the concat —
+        # both are conv(2*cout→cout)+conv(cout→cout) since cin_i = 2*cout.
+        total += 2 * (2 * 9 * (cin_i * cout + cout**2) * s * s)
+    total += 2 * enc[0] * width * width  # final 1×1 conv
+    return total
+
+
+def icp_iter_flops(B: int, N: int, M: int) -> float:
+    """One NN-association + GN step: the O(N·M) distance matrix dominates
+    (~8 FLOPs per pair: 3-dim matmul + norm terms)."""
+    return 8.0 * B * N * M
+
+
 def main():
     from mm_masking_tpu.config import Config, ModelConfig, TrainConfig
     from mm_masking_tpu.data.synthetic import SyntheticSpec, synthetic_batch
     from mm_masking_tpu.parallel import make_mesh, shard_batch
     from mm_masking_tpu.train import Trainer
 
-    spec = SyntheticSpec(n_scan=2048, n_map=8192)
+    n_scan, n_map = 4096, 16384  # DataConfig defaults = reference cloud scale
+    spec = SyntheticSpec(n_scan=n_scan, n_map=n_map)
     batch_train = 16
     batch_eval = 32
     # Production config: bf16 UNet activations (geometry stays f32 highest).
@@ -87,6 +129,20 @@ def main():
     # scan-pair + one eval scan-pair processed back to back).
     combined = 2.0 / (1.0 / train_sps + 1.0 / eval_sps)
 
+    # Analytic MFU: fwd+bwd ≈ 3× fwd for the UNet; unrolled-ICP backward ≈ 2×
+    # its forward. Eval runs the while-loop solver — tolerance-terminated, so
+    # 50 iterations is the upper bound (reported MFU is a lower bound there).
+    unet_f = unet_fwd_flops(cfg.model.cart_pixel_width)
+    train_flops = (
+        3 * unet_f * batch_train
+        + 3 * 10 * icp_iter_flops(batch_train, n_scan, n_map)
+    )
+    eval_flops = (
+        unet_f * batch_eval + 50 * icp_iter_flops(batch_eval, n_scan, n_map)
+    )
+    mfu_train = train_flops / t_train / PEAK_BF16
+    mfu_eval = eval_flops / t_eval / PEAK_BF16
+
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     vs_baseline = 0.0
     if os.path.exists(baseline_path):
@@ -95,23 +151,81 @@ def main():
         if ref_combined:
             vs_baseline = combined / ref_combined
 
+    detail = {
+        "train_scan_pairs_per_sec": round(train_sps, 3),
+        "eval_scan_pairs_per_sec": round(eval_sps, 3),
+        "train_step_ms": round(t_train * 1e3, 2),
+        "eval_step_ms": round(t_eval * 1e3, 2),
+        "mfu_train": round(mfu_train, 4),
+        "mfu_eval": round(mfu_eval, 4),
+        "device": str(jax.devices()[0]),
+        "shapes": {
+            "cart": 640, "polar": [400, 3360],
+            "n_scan": n_scan, "n_map": n_map,
+            "batch_train": batch_train, "batch_eval": batch_eval,
+        },
+    }
+
+    if os.environ.get("BENCH_FULL"):
+        from mm_masking_tpu.evaluation import baselines as bl
+
+        detail["configs"] = {}
+        # 1: unweighted pt2pl ICP on scan pairs.
+        t = time_fn(lambda: bl.config1_unweighted_pt2pl(cfg, eval_batch),
+                    iters=4)
+        detail["configs"]["1_unweighted_pt2pl"] = {
+            "ms": round(t * 1e3, 2), "pairs_per_sec": round(batch_eval / t, 2)}
+        # 2: CACFAR extraction + constant-weight ICP (raw polar input).
+        polar_spec = SyntheticSpec(n_scan=n_scan, n_map=n_map,
+                                   network_input_type="polar")
+        polar_batch = shard_batch(
+            synthetic_batch(2, batch=batch_eval, spec=polar_spec), trainer.mesh
+        )
+        t = time_fn(lambda: bl.config2_cacfar_constant_icp(cfg, polar_batch),
+                    iters=4)
+        detail["configs"]["2_cacfar_constant_icp"] = {
+            "ms": round(t * 1e3, 2), "pairs_per_sec": round(batch_eval / t, 2)}
+        # 3: learned mask + weighted ICP end to end (== eval step sans stats).
+        t = time_fn(
+            lambda: bl.config3_learned_mask_icp(
+                trainer.policy, state.variables, eval_batch),
+            iters=4)
+        detail["configs"]["3_learned_mask_icp"] = {
+            "ms": round(t * 1e3, 2), "pairs_per_sec": round(batch_eval / t, 2)}
+        # 4: batched backprop-through-ICP training step (== headline train).
+        detail["configs"]["4_train_step"] = {
+            "ms": round(t_train * 1e3, 2),
+            "pairs_per_sec": round(train_sps, 2)}
+        # 5: multi-sequence localization: batched jitted localize_frame over
+        # 64 frames (detector → extraction → two-phase ICP).
+        from mm_masking_tpu.localization import (
+            LocalizationConfig,
+            localize_sequence,
+        )
+
+        loc = synthetic_batch(3, batch=64, spec=polar_spec)
+        frames = {
+            "fft": loc["loc_data"]["fft_data"],
+            "azimuths": loc["loc_data"]["azimuths"],
+            "az_times": loc["loc_data"]["az_times"],
+        }
+        map_pc = loc["map_data"]["pc"][:1]
+        loc_cfg = LocalizationConfig(max_points=n_scan)
+        t = time_fn(
+            lambda: localize_sequence(frames, map_pc, cfg=loc_cfg,
+                                      batch_size=batch_eval),
+            iters=2,
+        )
+        detail["configs"]["5_multi_sequence_loc"] = {
+            "ms_per_64_frames": round(t * 1e3, 2),
+            "frames_per_sec": round(64 / t, 2)}
+
     result = {
         "metric": "scan_pairs_per_sec_per_chip",
         "value": round(combined, 3),
         "unit": "scan-pairs/s",
         "vs_baseline": round(vs_baseline, 3),
-        "detail": {
-            "train_scan_pairs_per_sec": round(train_sps, 3),
-            "eval_scan_pairs_per_sec": round(eval_sps, 3),
-            "train_step_ms": round(t_train * 1e3, 2),
-            "eval_step_ms": round(t_eval * 1e3, 2),
-            "device": str(jax.devices()[0]),
-            "shapes": {
-                "cart": 640, "polar": [400, 3360],
-                "n_scan": spec.n_scan, "n_map": spec.n_map,
-                "batch_train": batch_train, "batch_eval": batch_eval,
-            },
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
 

@@ -128,12 +128,16 @@ def extract_weights_torch(mask, pc, cart_res=0.2384, width=640):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--batch-train", type=int, default=2)
-    ap.add_argument("--batch-eval", type=int, default=2)
+    ap.add_argument("--batch-train", type=int, default=16)
+    ap.add_argument("--batch-eval", type=int, default=32)
+    ap.add_argument("--n-scan", type=int, default=4096)
+    ap.add_argument("--n-map", type=int, default=16384)
     args = ap.parse_args()
 
+    import os
+    torch.set_num_threads(os.cpu_count())
     torch.manual_seed(0)
-    n_scan, n_map, width = 2048, 8192, 640
+    n_scan, n_map, width = args.n_scan, args.n_map, 640
     bt, be = args.batch_train, args.batch_eval
 
     net = TorchUNet()
@@ -197,7 +201,9 @@ def main():
             "decoder double-application, grid_sample weight lookup, unrolled "
             "pt2pt Cauchy trim ICP per dICP call surface) on this host's "
             f"torch {torch.__version__} build, device=cpu, "
-            f"threads={torch.get_num_threads()}; shapes: cart 640, "
+            f"threads={torch.get_num_threads()} (host has "
+            f"{os.cpu_count()} core(s)); shapes: cart 640, "
+            f"batch {bt}/{be}, "
             f"n_scan {n_scan}, n_map {n_map}. The reference repo publishes no "
             "throughput numbers (BASELINE.md) and its CUDA/dICP stack is not "
             "runnable in this image."

@@ -61,6 +61,13 @@ class ICPConfig:
     target_pad_val: float = TARGET_PAD_VAL
     use_pallas_nn: bool | None = None  # None = auto (TPU yes, else blocked)
     damping: float = 1e-9  # Tikhonov floor keeping A invertible when weights die
+    # Motion-prior information weight λ: adds λ‖log(T·T_prior⁻¹)‖² to the GN
+    # objective (the discrete WNOA/STEAM trajectory-prior fusion the reference
+    # runs inside its odometry ICP, `radar_config.yaml:160-188`). 0 = off;
+    # requires `T_prior` to be passed to `icp`. Unlike a warm start, the prior
+    # keeps constraining unobservable directions (e.g. along-corridor
+    # translation against a single wall) throughout the solve.
+    prior_weight: float = 0.0
 
 
 def robust_weight(r_norm: jax.Array, name: str, k: float) -> jax.Array:
@@ -75,6 +82,27 @@ def robust_weight(r_norm: jax.Array, name: str, k: float) -> jax.Array:
     raise ValueError(f"unknown robust loss '{name}'")
 
 
+def _prior_error6(T: jax.Array, T_prior: jax.Array) -> jax.Array:
+    """First-order left-trivialized twist of E = T·T_prior⁻¹ (B, 6).
+
+    With the update T ← exp(δ)T, the prior residual e(δ) ≈ e + δ, so the GN
+    contribution is A += λI, b += −λe (first-order convention matching the
+    reference's `T − I` twist reads, `train_icp_weights.py:192-199`)."""
+    from mm_masking_tpu.geom import se3_inv
+
+    E = jnp.matmul(T, se3_inv(T_prior), precision="highest")
+    rho = E[..., :3, 3]
+    phi = jnp.stack(
+        [
+            E[..., 2, 1] - E[..., 1, 2],
+            E[..., 0, 2] - E[..., 2, 0],
+            E[..., 1, 0] - E[..., 0, 1],
+        ],
+        axis=-1,
+    ) * 0.5
+    return jnp.concatenate([rho, phi], axis=-1)
+
+
 def _gn_step(
     T: jax.Array,
     source: jax.Array,
@@ -83,6 +111,7 @@ def _gn_step(
     weight: jax.Array,
     source_valid: jax.Array,
     cfg: ICPConfig,
+    T_prior: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """One Gauss-Newton iteration. Returns (T_new, delta (B, 6))."""
     B, N, _ = source.shape
@@ -164,6 +193,12 @@ def _gn_step(
         )
         b = jnp.concatenate([b_t, b_r], axis=-1)
 
+    if cfg.prior_weight > 0.0 and T_prior is not None:
+        e6 = _prior_error6(T, T_prior)
+        lam_p = jnp.asarray(cfg.prior_weight, A.dtype)
+        A = A + lam_p * jnp.eye(6, dtype=A.dtype)
+        b = b - lam_p * e6
+
     if cfg.dim == 2:
         sel = jnp.asarray(_PLANAR_DOF)
         A_sub = A[:, sel][:, :, sel]
@@ -236,6 +271,7 @@ def icp(
     T_init: jax.Array,
     weight: jax.Array | None = None,
     cfg: ICPConfig = ICPConfig(),
+    T_prior: jax.Array | None = None,
 ) -> dict[str, Any]:
     """Run batched ICP. Mirrors ``dICP.ICP.icp``'s call signature semantics.
 
@@ -246,6 +282,8 @@ def icp(
         with ``cfg.target_pad_val`` rows.
       T_init: (B, 4, 4) initial guess.
       weight: optional (B, N) per-source-point weights.
+      T_prior: optional (B, 4, 4) motion prior, fused into every GN solve
+        with information weight ``cfg.prior_weight`` (WNOA-style).
 
     Returns dict with 'T' (B, 4, 4) plus diagnostics.
     """
@@ -268,6 +306,7 @@ def icp(
         weight=weight,
         source_valid=source_valid,
         cfg=cfg,
+        T_prior=T_prior,
     )
 
     if cfg.differentiable:

@@ -45,6 +45,11 @@ class OdometryConfig:
     # acceleration means constant velocity is the MAP extrapolation);
     # "constant_position" reuses the previous pose (round-1 behavior).
     motion_prior: str = "constant_velocity"
+    # Information weight of the motion prior *inside* the GN solve (WNOA
+    # fusion, `radar_config.yaml:160-188`): keeps unobservable directions
+    # (e.g. along-corridor translation) pinned to the extrapolated motion.
+    # 0 = warm-start only (the prior seeds but does not constrain).
+    prior_weight: float = 0.0
     # MC-RANSAC pre-filter (`radar_config.yaml:140-158`, disabled there too):
     # RANSAC over NN correspondences before ICP. `filter_pc` zeroes scan
     # points outside the RANSAC consensus (rejects gross clutter the robust
@@ -68,6 +73,7 @@ def _icp_cfg(cfg: OdometryConfig) -> ICPConfig:
         loss_name="cauchy",
         loss_metric=cfg.cauchy_k,
         dim=2,
+        prior_weight=cfg.prior_weight,
     )
 
 
@@ -103,7 +109,8 @@ def register_frame(scan: jax.Array, map_pc: jax.Array, T_init: jax.Array,
             scan = ransac_filter_pc(scan, res["inliers"])
             valid = valid & res["inliers"]
     out = icp(scan, map_pc, T_init, weight=valid.astype(scan.dtype),
-              cfg=_icp_cfg(cfg))
+              cfg=_icp_cfg(cfg),
+              T_prior=T_init if cfg.prior_weight > 0.0 else None)
     return out["T"]
 
 

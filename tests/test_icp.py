@@ -149,3 +149,66 @@ def test_nn_pallas_interpret_matches_blocked():
     idx_b, d2_b = nn_argmin_blocked(p, q, chunk=128)
     assert (np.asarray(idx_i) == np.asarray(idx_b)).mean() > 0.999
     np.testing.assert_allclose(np.asarray(d2_i), np.asarray(d2_b), atol=1e-2)
+
+
+def test_prior_fusion_constrains_unobservable_dof():
+    """WNOA-style prior fused into the GN solve (ICPConfig.prior_weight):
+    against a single straight wall, pt2pl ICP observes only the cross-wall
+    translation and yaw — along-wall x is a gauge freedom. The prior pins it;
+    warm-start-only leaves it wherever the init put it."""
+    import numpy as np
+
+    from mm_masking_tpu.dicp import ICPConfig, icp
+
+    rng = np.random.default_rng(0)
+    M = 1024
+    # Wall: y = 5 line, normals (0, -1, 0) (toward the sensor at origin).
+    map_pc = np.zeros((1, M, 6), np.float32)
+    map_pc[0, :, 0] = rng.uniform(-20, 20, M)
+    map_pc[0, :, 1] = 5.0
+    map_pc[0, :, 4] = -1.0
+    scan = map_pc[:, ::4, :3].copy()
+    scan += rng.normal(0, 0.01, scan.shape).astype(np.float32)
+    scan[..., 2] = 0.0
+
+    # Init offset: 0.5 m along the wall (unobservable) + 0.3 m across.
+    T_init = np.eye(4, dtype=np.float32)[None].copy()
+    T_init[0, 0, 3] = 0.5
+    T_init[0, 1, 3] = 0.3
+    T_prior = np.eye(4, dtype=np.float32)[None]  # truth
+
+    base = dict(icp_type="pt2pl", max_iterations=30, differentiable=False,
+                dim=2)
+    out0 = icp(jnp.asarray(scan), jnp.asarray(map_pc), jnp.asarray(T_init),
+               cfg=ICPConfig(**base))
+    T0 = np.asarray(out0["T"])[0]
+    # Cross-wall error corrected, along-wall error stays (gauge freedom).
+    assert abs(T0[1, 3]) < 0.02
+    assert abs(T0[0, 3]) > 0.3
+
+    out1 = icp(jnp.asarray(scan), jnp.asarray(map_pc), jnp.asarray(T_init),
+               cfg=ICPConfig(**base, prior_weight=5.0),
+               T_prior=jnp.asarray(T_prior))
+    T1 = np.asarray(out1["T"])[0]
+    assert abs(T1[1, 3]) < 0.05
+    assert abs(T1[0, 3]) < 0.02, T1
+
+
+def test_strong_prior_dominates():
+    """With overwhelming prior weight the solution reproduces T_prior."""
+    import numpy as np
+
+    from mm_masking_tpu.dicp import ICPConfig, icp
+    from mm_masking_tpu.geom import se3_exp
+
+    rng = np.random.default_rng(1)
+    map_pc = jnp.asarray(rng.uniform(-10, 10, (1, 256, 3)).astype(np.float32))
+    scan = map_pc[:, ::2] + 0.01
+    T_prior = np.asarray(se3_exp(jnp.asarray([[0.3, -0.2, 0, 0, 0, 0.1]])))
+    out = icp(scan, map_pc, jnp.eye(4)[None],
+              cfg=ICPConfig(icp_type="pt2pt", max_iterations=30,
+                            differentiable=False, prior_weight=1e7),
+              T_prior=jnp.asarray(T_prior))
+    T = np.asarray(out["T"])[0]
+    np.testing.assert_allclose(T[:2, 3], T_prior[0, :2, 3], atol=5e-3)
+    np.testing.assert_allclose(T[1, 0], T_prior[0, 1, 0], atol=5e-3)

@@ -12,11 +12,17 @@ Every test cites the reference lines it checks.
 from __future__ import annotations
 
 import importlib.util
+import os
 import sys
 
 import numpy as np
 import pytest
 import torch
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists("/root/reference/mm_masking/radar_utils.py"),
+    reason="reference tree not mounted",
+)
 
 import jax.numpy as jnp
 
