@@ -60,6 +60,10 @@ class ModelConfig:
     polar_shape: tuple[int, int] = (400, 3360)
     enc_channels: tuple[int, ...] = (8, 16, 32, 64, 128, 256)
     dtype: str = "float32"  # activations dtype ("bfloat16" for MXU-friendly)
+    # Execute low-channel conv stages in the space-to-depth layout (exact
+    # numerics, MXU-dense; see models/s2d.py). Layout choice only — safe to
+    # toggle on existing checkpoints.
+    s2d_convs: bool = False
 
     @property
     def in_channels(self) -> int:

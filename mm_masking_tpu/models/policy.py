@@ -52,6 +52,7 @@ class LearnICPWeightPolicy:
             batch_norm=m.batch_norm,
             dropout=m.dropout,
             dtype=m.jax_dtype,
+            s2d=m.s2d_convs,
         )
         if m.network_input_type == "cartesian":
             self.range_mask, _ = form_cart_range_angle_grid(

@@ -63,6 +63,47 @@ def upsample_bilinear_align_corners(x: jax.Array, size: tuple[int, int]) -> jax.
     return x
 
 
+class Conv3x3(nn.Module):
+    """3×3 SAME conv; optionally executed in the space-to-depth layout.
+
+    Parameter names/shapes match ``nn.Conv`` exactly (kernel (3, 3, Cin,
+    Cout), bias (Cout,)), so checkpoints are interchangeable between the two
+    execution paths — S2D is a *layout* choice, not an architecture change
+    (numerics verified equal in tests/test_s2d.py).
+    """
+
+    features: int
+    use_s2d: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.xavier_uniform(),
+            (3, 3, cin, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        x = x.astype(self.dtype)
+        b = 1
+        if self.use_s2d:
+            from mm_masking_tpu.models.s2d import conv3x3_s2d, pick_block
+
+            b = pick_block(x.shape[1], cin, self.features)
+            if x.shape[1] % b or x.shape[2] % b:
+                b = 1
+        if b > 1:
+            return conv3x3_s2d(x, kernel, b, bias=bias)
+        return jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+
+
 class ConvBlock(nn.Module):
     """conv3x3-relu[-bn]-conv3x3-relu[-bn][-dropout][-maxpool]."""
 
@@ -72,21 +113,19 @@ class ConvBlock(nn.Module):
     dropout: float
     pool: bool
     dtype: jnp.dtype = jnp.float32
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         act = (lambda v: nn.leaky_relu(v, 0.1)) if self.leaky else nn.relu
-        conv_kw = dict(
-            kernel_size=(3, 3),
-            padding=1,
-            kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=nn.initializers.zeros_init(),
-            dtype=self.dtype,
-        )
-        x = act(nn.Conv(self.features, **conv_kw)(x))
+        # Explicit names keep the param tree identical to the former nn.Conv
+        # modules — checkpoints restore across the layout switch.
+        x = act(Conv3x3(self.features, use_s2d=self.s2d, dtype=self.dtype,
+                        name="Conv_0")(x))
         if self.batch_norm:
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
-        x = act(nn.Conv(self.features, **conv_kw)(x))
+        x = act(Conv3x3(self.features, use_s2d=self.s2d, dtype=self.dtype,
+                        name="Conv_1")(x))
         if self.batch_norm:
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         if self.dropout > 0.0:
@@ -104,6 +143,7 @@ class UNet(nn.Module):
     batch_norm: bool = False
     dropout: float = 0.05
     dtype: jnp.dtype = jnp.float32
+    s2d: bool = False  # execute low-channel convs in space-to-depth layout
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -122,6 +162,7 @@ class UNet(nn.Module):
                 dropout=self.dropout,
                 pool=(i > 0),
                 dtype=self.dtype,
+                s2d=self.s2d,
             )(x, train=train)
         skips.reverse()
 
@@ -134,6 +175,7 @@ class UNet(nn.Module):
                 dropout=self.dropout,
                 pool=False,
                 dtype=self.dtype,
+                s2d=self.s2d,
             )
             skip = skips[i]
             x = upsample_bilinear_align_corners(x, skip.shape[1:3])

@@ -67,3 +67,20 @@ def test_xavier_init_zero_bias():
     flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
     biases = [v for p, v in flat if "bias" in str(p)]
     assert biases and all(float(jnp.abs(b).max()) == 0.0 for b in biases)
+
+
+def test_s2d_unet_matches_baseline_unet():
+    """The s2d flag is a layout choice: same params, same outputs."""
+    import jax
+    import numpy as np
+
+    from mm_masking_tpu.models.unet import UNet
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 32, 32, 1)).astype(np.float32))
+    base = UNet(enc_channels=(4, 8, 16), dropout=0.0)
+    fast = UNet(enc_channels=(4, 8, 16), dropout=0.0, s2d=True)
+    variables = base.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    y0 = np.asarray(base.apply(variables, x, train=False))
+    y1 = np.asarray(fast.apply(variables, x, train=False))
+    np.testing.assert_allclose(y1, y0, atol=3e-6)
