@@ -47,7 +47,10 @@ def main():
         model=ModelConfig(icp_type="pt2pl"),
         data=DataConfig(max_loc_pts=768, max_map_pts=2048, pos_std=1.0,
                         rot_std=0.25),
-        train=TrainConfig(checkpoint_dir=args.ckpt),
+        # Optimizer knobs must match the training run: the checkpoint's
+        # opt_state tree includes the clip stage.
+        train=TrainConfig(checkpoint_dir=args.ckpt, learning_rate=3e-4,
+                          clip_value=1.0),
     )
     spec = SyntheticSpec(scene="walls", clutter_frac=0.35, pos_std=1.0,
                          rot_std=0.25, n_scan=768, n_map=2048)

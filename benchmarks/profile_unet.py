@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--s2d", action="store_true",
+                    help="run the full-UNet timings in the space-to-depth "
+                         "conv layout (models/s2d.py)")
     args = ap.parse_args()
     B = args.batch
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -68,8 +71,17 @@ def main():
         ms = timeit(conv, x, k)
         gflop = 2 * 9 * cin * cout * hw * hw * B / 1e9
         total_fwd += ms
-        print(f"{name:22s} {ms:8.2f} ms   {gflop:7.1f} GFLOP "
-              f"{gflop / ms:8.1f} TF/s-eff")
+        line = (f"{name:22s} {ms:8.2f} ms   {gflop:7.1f} GFLOP "
+                f"{gflop / ms:8.1f} TF/s-eff")
+        if args.s2d:
+            from mm_masking_tpu.models.s2d import conv3x3_s2d, pick_block
+
+            b = pick_block(hw, cin, cout)
+            if b > 1:
+                ms2 = timeit(jax.jit(lambda x, k, b=b: conv3x3_s2d(x, k, b)),
+                             x, k)
+                line += f"   | s2d b={b} {ms2:8.2f} ms ({ms / ms2:4.2f}x)"
+        print(line)
     print(f"{'sum of probed convs':22s} {total_fwd:8.2f} ms")
 
     # --- upsample, dropout, normalize -----------------------------------
@@ -102,7 +114,7 @@ def main():
     # --- full UNet ---------------------------------------------------------
     from mm_masking_tpu.models.unet import UNet
 
-    unet = UNet(dtype=dtype, dropout=0.05)
+    unet = UNet(dtype=dtype, dropout=0.05, s2d=args.s2d)
     xin = jnp.asarray(rng.random((B, W0, W0, 1)), dtype)
     variables = unet.init({"params": jax.random.PRNGKey(0)}, xin, train=False)
 

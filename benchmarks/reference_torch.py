@@ -74,16 +74,30 @@ class TorchUNet(nn.Module):
         return self.final(x).squeeze(1)
 
 
+def _nn_assoc(p, mapp, chunk=512):
+    """Chunked brute-force NN indices (no autograd; the argmin is piecewise
+    constant, and `min(dim=2)`'s backward routes through the argmin element —
+    so gathering map[idx] and recomputing the distance differentiably gives
+    values AND gradients identical to a full cdist+min, without materializing
+    the (B, N, M) matrix ×iters under autograd (4 GB each at reference scale)."""
+    with torch.no_grad():
+        idxs = []
+        for i in range(0, p.shape[1], chunk):
+            d = torch.cdist(p[:, i:i + chunk], mapp)
+            idxs.append(d.min(dim=2).indices)
+        return torch.cat(idxs, dim=1)
+
+
 def torch_icp(scan, mapp, T_init, weights, iters=10, trim=5.0, k=1.0):
     """Unrolled batched pt2pt Cauchy ICP, planar DOF (dICP semantics)."""
     T = T_init
     B, N, _ = scan.shape
     for _ in range(iters):
         p = torch.einsum("bij,bnj->bni", T[:, :3, :3], scan) + T[:, None, :3, 3]
-        d = torch.cdist(p, mapp[..., :3])  # (B, N, M)
-        dmin, idx = d.min(dim=2)
+        idx = _nn_assoc(p, mapp[..., :3])
         q = torch.gather(mapp[..., :3], 1, idx.unsqueeze(-1).expand(-1, -1, 3))
         r = p - q
+        dmin = r.norm(dim=-1)
         w = 1.0 / (1.0 + (dmin / k) ** 2)
         w = w * (dmin < trim) * weights
         # Planar GN (x, y, yaw).
@@ -151,39 +165,47 @@ def main():
             torch.eye(4).expand(B, 4, 4).clone(),
         )
 
-    # --- train step: UNet fwd -> weights -> 10-iter ICP -> loss -> backward
+    # --- train step: UNet fwd -> weights -> K-iter ICP -> loss -> backward
     img, scan, mapp, T0 = make(bt)
-    def train_step():
+    def train_step(icp_iters):
         opt.zero_grad()
         mask = net(img)
         w = extract_weights_torch(mask, scan)
-        T = torch_icp(scan, mapp, T0, w, iters=10)
+        T = torch_icp(scan, mapp, T0, w, iters=icp_iters)
         xi = T - torch.eye(4)
         loss = xi[:, 0:2, 3].norm(dim=1).mean() + xi[:, 1, 0].abs().mean()
         loss = loss + F.binary_cross_entropy(mask, (img.squeeze(1) > 0.5).float())
         loss.backward()
         opt.step()
 
-    # --- eval step: UNet fwd -> weights -> 50-iter ICP (no grad)
+    # --- eval step: UNet fwd -> weights -> K-iter ICP (no grad)
     img_e, scan_e, map_e, T0_e = make(be)
-    def eval_step():
+    def eval_step(icp_iters):
         with torch.no_grad():
             mask = net(img_e)
             w = extract_weights_torch(mask, scan_e)
-            torch_icp(scan_e, map_e, T0_e, w, iters=50)
+            torch_icp(scan_e, map_e, T0_e, w, iters=icp_iters)
 
-    iters = 1 if args.quick else 2
-    train_step()  # warmup/alloc
-    tic = time.perf_counter()
-    for _ in range(iters):
-        train_step()
-    t_train = (time.perf_counter() - tic) / iters
+    # A full 10-iter train step at reference scale (16×4096×16384 NN
+    # association per iteration) takes hours on this host's single core, so
+    # measure steps at icp_iters ∈ {0, 1} and extrapolate linearly over the
+    # iteration count — per-iteration work is identical, so
+    # t(K) = t(0) + K·(t(1) − t(0)). This favors the baseline if anything
+    # (warm caches on the measured iteration).
+    def timed(fn, reps):
+        fn()  # warmup/alloc
+        tic = time.perf_counter()
+        for _ in range(reps):
+            fn()
+        return (time.perf_counter() - tic) / reps
 
-    eval_step()
-    tic = time.perf_counter()
-    for _ in range(iters):
-        eval_step()
-    t_eval = (time.perf_counter() - tic) / iters
+    reps = 1 if args.quick else 2
+    tr0 = timed(lambda: train_step(0), reps)
+    tr1 = timed(lambda: train_step(1), reps)
+    t_train = tr0 + 10 * max(tr1 - tr0, 0.0)
+    ev0 = timed(lambda: eval_step(0), reps)
+    ev1 = timed(lambda: eval_step(1), reps)
+    t_eval = ev0 + 50 * max(ev1 - ev0, 0.0)
 
     train_sps = bt / t_train
     eval_sps = be / t_eval
@@ -194,6 +216,10 @@ def main():
         "eval_scan_pairs_per_sec": round(eval_sps, 4),
         "train_step_s": round(t_train, 3),
         "eval_step_s": round(t_eval, 3),
+        "train_step_icp0_s": round(tr0, 3),
+        "train_step_icp1_s": round(tr1, 3),
+        "eval_step_icp0_s": round(ev0, 3),
+        "eval_step_icp1_s": round(ev1, 3),
         "batch_train": bt,
         "batch_eval": be,
         "provenance": (
@@ -202,11 +228,14 @@ def main():
             "pt2pt Cauchy trim ICP per dICP call surface) on this host's "
             f"torch {torch.__version__} build, device=cpu, "
             f"threads={torch.get_num_threads()} (host has "
-            f"{os.cpu_count()} core(s)); shapes: cart 640, "
+            f"{os.cpu_count()} core(s) — all of them); shapes: cart 640, "
             f"batch {bt}/{be}, "
-            f"n_scan {n_scan}, n_map {n_map}. The reference repo publishes no "
-            "throughput numbers (BASELINE.md) and its CUDA/dICP stack is not "
-            "runnable in this image."
+            f"n_scan {n_scan}, n_map {n_map}. Step times are measured at "
+            "icp_iters 0 and 1 and extrapolated linearly to 10 (train) / 50 "
+            "(eval) iterations — per-iteration work is identical and the "
+            "extrapolation favors the baseline (warm caches). The reference "
+            "repo publishes no throughput numbers (BASELINE.md) and its "
+            "CUDA/dICP stack is not runnable in this image."
         ),
     }
     path = osp.join(osp.dirname(__file__), "..", "bench_baseline.json")

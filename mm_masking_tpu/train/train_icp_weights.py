@@ -53,6 +53,12 @@ def main(argv=None):
     ap.add_argument("--synthetic", action="store_true",
                     help="train on generated data (no Boreas tree needed)")
     ap.add_argument("--synthetic-frames", type=int, default=64)
+    ap.add_argument("--synthetic-fixed", action="store_true",
+                    help="pre-generate one fixed synthetic dataset and reuse "
+                         "it every epoch (host generation is ~3.5 s per "
+                         "batch-16 on this 1-core host — regenerating per "
+                         "epoch starves the device; the reference trains on "
+                         "a fixed dataset per epoch too)")
     ap.add_argument("--scene", default="scatter", choices=["scatter", "walls"],
                     help="synthetic scene family (walls = multipath-ghost "
                          "learning-demo regime)")
@@ -87,13 +93,31 @@ def main(argv=None):
         bv = cfg.train.batch_size_test
         n_train = max(1, args.synthetic_frames // bt)
 
-        def train_batches(epoch):
-            return (synthetic_batch(1000 * epoch + i, batch=bt, spec=spec)
-                    for i in range(n_train))
+        if args.synthetic_fixed:
+            import jax
 
-        def val_batches():
-            return (synthetic_batch(10_000_000 + i, batch=bv, spec=spec)
-                    for i in range(2))
+            # Cache on host — keeping every batch resident on the device
+            # pins ~1 GB of HBM on top of the train step's working set and
+            # OOMs the chip; shard_batch re-transfers per step.
+            fixed_train = [jax.device_get(synthetic_batch(i, batch=bt, spec=spec))
+                           for i in range(n_train)]
+            fixed_val = [jax.device_get(
+                             synthetic_batch(10_000_000 + i, batch=bv, spec=spec))
+                         for i in range(2)]
+
+            def train_batches(epoch):
+                return iter(fixed_train)
+
+            def val_batches():
+                return iter(fixed_val)
+        else:
+            def train_batches(epoch):
+                return (synthetic_batch(1000 * epoch + i, batch=bt, spec=spec)
+                        for i in range(n_train))
+
+            def val_batches():
+                return (synthetic_batch(10_000_000 + i, batch=bv, spec=spec)
+                        for i in range(2))
     else:
         from mm_masking_tpu.data import ICPWeightDataset, epoch_batches
 
