@@ -21,10 +21,15 @@ import argparse
 import dataclasses
 import json
 import os.path as osp
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Runnable as `python benchmarks/eval_walls_demo.py` without an installed
+# package (do NOT use PYTHONPATH=/root/repo — it breaks the axon TPU plugin).
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 def main():

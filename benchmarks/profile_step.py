@@ -1,0 +1,117 @@
+"""Decompose the bench.py train/eval steps on the real chip.
+
+Times, each as ONE jitted program (per-dispatch tunnel overhead ~3 ms makes
+per-op microbenchmarks meaningless — see profile_unet.py results):
+
+  * policy forward (UNet → weights → 50-iter ICP) at eval batch
+  * UNet-only forward / fwd+bwd at train batch
+  * 50-iter inference ICP alone, dense vs sorted-stripe NN
+  * 10-iter unrolled ICP fwd+bwd alone, dense vs stripe
+  * full train step
+
+Usage: python benchmarks/profile_step.py
+"""
+from __future__ import annotations
+
+import os.path as osp
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+from mm_masking_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
+
+def _force(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def timeit(fn, *args, n=6, warmup=2):
+    for _ in range(warmup):
+        _force(fn(*args))
+    tic = time.perf_counter()
+    for _ in range(n):
+        _force(fn(*args))
+    return (time.perf_counter() - tic) / n * 1e3
+
+
+def main():
+    from mm_masking_tpu.config import Config, ModelConfig, TrainConfig
+    from mm_masking_tpu.data.synthetic import SyntheticSpec, synthetic_batch
+    from mm_masking_tpu.dicp import ICPConfig, icp
+    from mm_masking_tpu.parallel import make_mesh, shard_batch
+    from mm_masking_tpu.train import Trainer
+
+    n_scan, n_map = 4096, 16384
+    bt, be = 16, 32
+    spec = SyntheticSpec(n_scan=n_scan, n_map=n_map)
+    cfg = Config(
+        model=ModelConfig(dropout=0.05, max_iter=10, inference_max_iter=50,
+                          dtype="bfloat16"),
+        train=TrainConfig(batch_size_train=bt, batch_size_test=be),
+    )
+    trainer = Trainer(cfg, mesh=make_mesh())
+    state = trainer.init_state()
+    tb = shard_batch(synthetic_batch(0, batch=bt, spec=spec), trainer.mesh)
+    eb = shard_batch(synthetic_batch(1, batch=be, spec=spec), trainer.mesh)
+
+    print(f"device={jax.devices()[0]} shapes n_scan={n_scan} n_map={n_map}")
+
+    # --- full steps (bench.py headline) --------------------------------
+    t = timeit(lambda: trainer._train_step(state, tb, mask_losses_active=True))
+    print(f"{'train step (b16)':34s} {t:8.1f} ms")
+    t = timeit(lambda: trainer._eval_step(state, eb, binary=False))
+    print(f"{'eval step (b32)':34s} {t:8.1f} ms")
+
+    # --- UNet alone ------------------------------------------------------
+    from mm_masking_tpu.models.unet import UNet
+
+    unet = UNet(dtype=jnp.bfloat16, dropout=0.0)
+    x16 = jnp.zeros((bt, 640, 640, 1), jnp.bfloat16)
+    x32 = jnp.zeros((be, 640, 640, 1), jnp.bfloat16)
+    uv = unet.init({"params": jax.random.PRNGKey(0)}, x16, train=False)
+    fwd = jax.jit(lambda v, x: unet.apply(v, x, train=False))
+    print(f"{'UNet fwd b16':34s} {timeit(fwd, uv, x16):8.1f} ms")
+    print(f"{'UNet fwd b32':34s} {timeit(fwd, uv, x32):8.1f} ms")
+    g = jax.jit(jax.grad(
+        lambda v, x: jnp.sum(unet.apply(v, x, train=False).astype(jnp.float32))
+    ))
+    print(f"{'UNet fwd+bwd b16':34s} {timeit(g, uv, x16):8.1f} ms")
+
+    # --- ICP alone, dense vs stripe -------------------------------------
+    scan = eb["loc_data"]["filtered_pc"]
+    mapp = eb["map_data"]["pc"]
+    T0 = eb["transforms"]["T_ml_init"]
+    w = jnp.ones(scan.shape[:2], jnp.float32)
+
+    for label, stripe in (("dense", False), ("stripe", True)):
+        c50 = ICPConfig(icp_type="pt2pt", max_iterations=50,
+                        differentiable=False, nn_stripe=stripe)
+        f50 = jax.jit(lambda s, m, t, w, c=c50: icp(s, m, t, weight=w, cfg=c)["T"])
+        print(f"{'icp 50-iter b32 ' + label:34s} {timeit(f50, scan, mapp, T0, w):8.1f} ms")
+
+    scan_t = tb["loc_data"]["filtered_pc"]
+    mapp_t = tb["map_data"]["pc"]
+    T0_t = tb["transforms"]["T_ml_init"]
+    w_t = jnp.ones(scan_t.shape[:2], jnp.float32)
+
+    for label, stripe in (("dense", False), ("stripe", True)):
+        c10 = ICPConfig(icp_type="pt2pt", max_iterations=10,
+                        differentiable=True, nn_stripe=stripe)
+
+        def loss(w, s=scan_t, m=mapp_t, t=T0_t, c=c10):
+            T = icp(s, m, t, weight=w, cfg=c)["T"]
+            return jnp.sum(jnp.abs(T))
+
+        gi = jax.jit(jax.grad(loss))
+        print(f"{'icp 10-iter fwd+bwd b16 ' + label:34s} {timeit(gi, w_t):8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -10,11 +10,17 @@ Usage: python benchmarks/profile_unet.py [--batch 16] [--dtype bfloat16]
 from __future__ import annotations
 
 import argparse
+import os.path as osp
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Runnable as `python benchmarks/profile_unet.py` without an installed
+# package (do NOT use PYTHONPATH=/root/repo — it breaks the axon TPU plugin).
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 def timeit(fn, *args, n=10, warmup=2):

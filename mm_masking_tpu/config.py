@@ -62,8 +62,13 @@ class ModelConfig:
     dtype: str = "float32"  # activations dtype ("bfloat16" for MXU-friendly)
     # Execute low-channel conv stages in the space-to-depth layout (exact
     # numerics, MXU-dense; see models/s2d.py). Layout choice only — safe to
-    # toggle on existing checkpoints.
+    # toggle on existing checkpoints. Measured SLOWER on v5e (docs/BENCH_DETAIL.md).
     s2d_convs: bool = False
+    # Conv lowering: "xla" (lax.conv) or "tapsum" (nine shifted matmuls).
+    # tapsum wins ~1.2× on an isolated conv but LOSES inside the full UNet
+    # (breaks XLA's bias/relu-into-conv fusion) — measured, docs/BENCH_DETAIL.md.
+    # Checkpoint-compatible lowering choice.
+    conv_impl: str = "xla"
 
     @property
     def in_channels(self) -> int:

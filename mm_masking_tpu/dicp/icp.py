@@ -60,6 +60,13 @@ class ICPConfig:
     dim: int = 2  # 2 = planar (x, y, yaw); 3 = full SE(3)
     target_pad_val: float = TARGET_PAD_VAL
     use_pallas_nn: bool | None = None  # None = auto (TPU yes, else blocked)
+    # Sorted-stripe NN association (nn_assoc.py): exact, searches only the
+    # contiguous sorted-map window that can contain within-trim neighbors,
+    # with a dense fallback if any tile's needed span overflows the window.
+    # None = auto (on when the map has ≥ 4096 points). window 0 = auto (M/4).
+    nn_stripe: bool | None = None
+    nn_stripe_window: int = 0
+    nn_stripe_tile: int = 256
     damping: float = 1e-9  # Tikhonov floor keeping A invertible when weights die
     # Motion-prior information weight λ: adds λ‖log(T·T_prior⁻¹)‖² to the GN
     # objective (the discrete WNOA/STEAM trajectory-prior fusion the reference
@@ -112,6 +119,7 @@ def _gn_step(
     source_valid: jax.Array,
     cfg: ICPConfig,
     T_prior: jax.Array | None = None,
+    assoc_fn=None,
 ) -> tuple[jax.Array, jax.Array]:
     """One Gauss-Newton iteration. Returns (T_new, delta (B, 6))."""
     B, N, _ = source.shape
@@ -123,11 +131,11 @@ def _gn_step(
     )
 
     # 2. associate (discrete; no gradient through the index)
-    idx, _ = nn_argmin(
-        jax.lax.stop_gradient(p),
-        jax.lax.stop_gradient(target_pts),
-        use_pallas=cfg.use_pallas_nn,
-    )
+    if assoc_fn is None:
+        assoc_fn = lambda pp: nn_argmin(  # noqa: E731
+            pp, jax.lax.stop_gradient(target_pts), use_pallas=cfg.use_pallas_nn
+        )
+    idx, _ = assoc_fn(jax.lax.stop_gradient(p))
     q = jnp.take_along_axis(target_pts, idx[..., None], axis=1)  # (B, N, 3)
 
     # 3. residuals
@@ -288,15 +296,58 @@ def icp(
     Returns dict with 'T' (B, 4, 4) plus diagnostics.
     """
     source = source[..., :3]
-    target_pts = target[..., :3]
-    target_nrm = target[..., 3:6] if target.shape[-1] >= 6 else None
-    if cfg.icp_type == "pt2pl" and target_nrm is None:
-        raise ValueError("pt2pl requires target with normals (B, M, 6)")
+
+    stripe = cfg.nn_stripe
+    if stripe is None:
+        stripe = target.shape[1] >= 4096
+    assoc_fn = None
 
     source_valid = ~(
         (source[..., 0] == 0.0) & (source[..., 1] == 0.0)
     )
     source_valid = source_valid.astype(source.dtype)
+
+    if stripe:
+        from mm_masking_tpu.ops.pallas.nn_assoc import (
+            nn_argmin_stripe_presorted,
+            stripe_sort_target,
+        )
+
+        # Sort the map by its widest planar axis ONCE per solve; every
+        # iteration then associates against contiguous sorted windows. The
+        # source rows are permuted once by their initial-guess key (the GN
+        # normal-equation sums are row-order invariant, so the returned pose
+        # is unchanged; the weight gradient is permuted back by the
+        # differentiable gather below). Sorting per iteration instead costs
+        # more than the stripe saves (measured on v5e).
+        target, key_sorted, use_x = stripe_sort_target(
+            jax.lax.stop_gradient(target)
+        )
+        p0 = jax.lax.stop_gradient(
+            jnp.einsum("bij,bnj->bni", T_init[:, :3, :3], source)
+            + T_init[:, None, :3, 3]
+        )
+        p0_key = jnp.where(use_x[:, None], p0[..., 0], p0[..., 1])
+        order = jnp.argsort(p0_key, axis=1)  # (B, N)
+        source = jnp.take_along_axis(source, order[..., None], axis=1)
+        source_valid = jnp.take_along_axis(source_valid, order, axis=1)
+        if weight is not None:
+            weight = jnp.take_along_axis(weight, order, axis=1)
+        assoc_fn = functools.partial(
+            nn_argmin_stripe_presorted,
+            q_sorted=jax.lax.stop_gradient(target[..., :3]),
+            key_sorted=key_sorted,
+            use_x=use_x,
+            trim_dist=cfg.trim_dist,
+            window=cfg.nn_stripe_window or None,
+            tn=cfg.nn_stripe_tile,
+            use_pallas=cfg.use_pallas_nn,
+        )
+
+    target_pts = target[..., :3]
+    target_nrm = target[..., 3:6] if target.shape[-1] >= 6 else None
+    if cfg.icp_type == "pt2pl" and target_nrm is None:
+        raise ValueError("pt2pl requires target with normals (B, M, 6)")
 
     step = functools.partial(
         _gn_step,
@@ -307,6 +358,7 @@ def icp(
         source_valid=source_valid,
         cfg=cfg,
         T_prior=T_prior,
+        assoc_fn=assoc_fn,
     )
 
     if cfg.differentiable:

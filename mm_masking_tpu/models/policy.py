@@ -53,6 +53,7 @@ class LearnICPWeightPolicy:
             dropout=m.dropout,
             dtype=m.jax_dtype,
             s2d=m.s2d_convs,
+            conv_impl=m.conv_impl,
         )
         if m.network_input_type == "cartesian":
             self.range_mask, _ = form_cart_range_angle_grid(

@@ -63,17 +63,39 @@ def upsample_bilinear_align_corners(x: jax.Array, size: tuple[int, int]) -> jax.
     return x
 
 
+def conv3x3_tapsum(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """SAME 3×3 stride-1 conv as nine shifted (HW, Cin)×(Cin, Cout) matmuls.
+
+    Numerically the same contraction as the conv (per-output sum over 9·Cin
+    terms, bf16 inputs / f32 accumulate on the MXU), but measured ~1.2×
+    faster than XLA's conv lowering at the UNet's low-channel 640² stages
+    (benchmarks/probe_conv.py; all formulations saturate ~2.5-3 TF/s-eff on
+    this chip, far below lane/HBM rooflines — see docs/BENCH_DETAIL.md)."""
+    B, H, W, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = None
+    for di in range(3):
+        for dj in range(3):
+            y = jnp.einsum(
+                "bhwi,io->bhwo", xp[:, di:di + H, dj:dj + W, :], kernel[di, dj]
+            )
+            out = y if out is None else out + y
+    return out
+
+
 class Conv3x3(nn.Module):
-    """3×3 SAME conv; optionally executed in the space-to-depth layout.
+    """3×3 SAME conv with a choice of execution path: XLA's conv, the
+    tap-sum matmul form, or the space-to-depth blocked layout.
 
     Parameter names/shapes match ``nn.Conv`` exactly (kernel (3, 3, Cin,
-    Cout), bias (Cout,)), so checkpoints are interchangeable between the two
-    execution paths — S2D is a *layout* choice, not an architecture change
-    (numerics verified equal in tests/test_s2d.py).
+    Cout), bias (Cout,)), so checkpoints are interchangeable between all
+    execution paths — these are *lowering* choices, not architecture changes
+    (numerics verified equal in tests/test_s2d.py and test_unet.py).
     """
 
     features: int
     use_s2d: bool = False
+    impl: str = "xla"  # "xla" | "tapsum"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -98,6 +120,8 @@ class Conv3x3(nn.Module):
                 b = 1
         if b > 1:
             return conv3x3_s2d(x, kernel, b, bias=bias)
+        if self.impl == "tapsum":
+            return conv3x3_tapsum(x, kernel) + bias
         return jax.lax.conv_general_dilated(
             x, kernel, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -114,18 +138,19 @@ class ConvBlock(nn.Module):
     pool: bool
     dtype: jnp.dtype = jnp.float32
     s2d: bool = False
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         act = (lambda v: nn.leaky_relu(v, 0.1)) if self.leaky else nn.relu
         # Explicit names keep the param tree identical to the former nn.Conv
         # modules — checkpoints restore across the layout switch.
-        x = act(Conv3x3(self.features, use_s2d=self.s2d, dtype=self.dtype,
-                        name="Conv_0")(x))
+        x = act(Conv3x3(self.features, use_s2d=self.s2d, impl=self.conv_impl,
+                        dtype=self.dtype, name="Conv_0")(x))
         if self.batch_norm:
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
-        x = act(Conv3x3(self.features, use_s2d=self.s2d, dtype=self.dtype,
-                        name="Conv_1")(x))
+        x = act(Conv3x3(self.features, use_s2d=self.s2d, impl=self.conv_impl,
+                        dtype=self.dtype, name="Conv_1")(x))
         if self.batch_norm:
             x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         if self.dropout > 0.0:
@@ -144,6 +169,7 @@ class UNet(nn.Module):
     dropout: float = 0.05
     dtype: jnp.dtype = jnp.float32
     s2d: bool = False  # execute low-channel convs in space-to-depth layout
+    conv_impl: str = "xla"  # "xla" | "tapsum" conv lowering
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -163,6 +189,7 @@ class UNet(nn.Module):
                 pool=(i > 0),
                 dtype=self.dtype,
                 s2d=self.s2d,
+                conv_impl=self.conv_impl,
             )(x, train=train)
         skips.reverse()
 
@@ -176,6 +203,7 @@ class UNet(nn.Module):
                 pool=False,
                 dtype=self.dtype,
                 s2d=self.s2d,
+                conv_impl=self.conv_impl,
             )
             skip = skips[i]
             x = upsample_bilinear_align_corners(x, skip.shape[1:3])

@@ -191,3 +191,149 @@ def nn_argmin(
     if use_pallas:
         return nn_argmin_pallas(p, q)
     return nn_argmin_blocked(p, q)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-stripe NN: exact brute force over a provably sufficient map window.
+#
+# The dense kernels above touch all N·M pairs every ICP iteration; at
+# reference scale (4096 × 16384, 50 eval iterations) that association is the
+# eval-step bottleneck. ICP only needs the nearest neighbor when it lies
+# within `trim_dist` (farther points get weight 0 in the GN step), which
+# bounds the search geometrically: sort the map along its widest planar axis
+# once per solve, sort the scan points by the same key each iteration, and a
+# tile of TN consecutive sorted scan points only ever needs the contiguous
+# run of map points whose key lies within [tile_min − trim, tile_max + trim].
+# A fixed window of W map points starting at searchsorted(tile_min − trim)
+# covers that run whenever the run's length ≤ W; the kernel checks this per
+# tile and falls back to the dense path for the whole call if ANY tile
+# overflows (lax.cond), so results are exact by construction — identical
+# distances, first-occurrence-in-sorted-order indices.
+#
+# Work drops from N·M to N·W pairs per iteration (4× at the default
+# W = M/4), at the cost of one (B, N) sort + (B, T, W) gather per iteration
+# and one (B, M) map sort per solve.
+# ---------------------------------------------------------------------------
+
+
+def stripe_sort_target(
+    q_full: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Sort map rows by their widest-spread planar coordinate.
+
+    q_full: (B, M, C≥3) points (+normals etc.); rows are permuted jointly.
+    Returns (q_sorted (B, M, C), key_sorted (B, M), use_x (B,) bool).
+    Pad rows (`target_pad_val` sentinels, +1000) sort to the top end and are
+    never within trim of a real point. NaN keys sort last.
+    """
+    span = jnp.nanmax(q_full[..., :2], axis=1) - jnp.nanmin(
+        q_full[..., :2], axis=1
+    )  # (B, 2)
+    use_x = span[:, 0] >= span[:, 1]
+    key = jnp.where(use_x[:, None], q_full[..., 0], q_full[..., 1])
+    order = jnp.argsort(key, axis=1)
+    q_sorted = jnp.take_along_axis(q_full, order[..., None], axis=1)
+    key_sorted = jnp.take_along_axis(key, order, axis=1)
+    return q_sorted, key_sorted, use_x
+
+
+def nn_argmin_stripe_presorted(
+    p: jax.Array,
+    q_sorted: jax.Array,
+    key_sorted: jax.Array,
+    use_x: jax.Array,
+    trim_dist: float,
+    window: int | None = None,
+    tn: int = 256,
+    use_pallas: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Stripe NN for scan rows already GROUPED by key (see module comment).
+
+    Exactness does not require p to be sorted: each tile's window is derived
+    from the min/max of that tile's CURRENT keys, so any fixed row grouping
+    is correct — a grouping by initial key just keeps the windows tight. This
+    lets an ICP solve sort its source once (row order is invariant for the
+    GN sums) instead of per iteration; sorting (B, N) every iteration costs
+    more than the window saves (measured 2× slower overall on v5e).
+
+    p: (B, N, 3); q_sorted/key_sorted/use_x from :func:`stripe_sort_target`.
+    Returns (idx (B, N) into the SORTED map, d2 (B, N)) in p's row order.
+    """
+    B, N, _ = p.shape
+    M = q_sorted.shape[1]
+    if window is None:
+        window = max(512, M // 4)
+    window = min(window, M)
+    tn = min(tn, N)
+    n_pad = -N % tn
+
+    dense = functools.partial(nn_argmin, use_pallas=use_pallas)
+    if window >= M or N + n_pad <= tn:
+        return dense(p, q_sorted[..., :3])
+    if n_pad:
+        # Trailing zero rows join the last tile; they only widen its window.
+        p = jnp.concatenate([p, jnp.zeros((B, n_pad, 3), p.dtype)], axis=1)
+    T = (N + n_pad) // tn
+
+    p_key = jnp.where(use_x[:, None], p[..., 0], p[..., 1])
+    key_t = p_key.reshape(B, T, tn)
+    finite = jnp.isfinite(key_t)
+    lo = jnp.min(jnp.where(finite, key_t, jnp.inf), axis=2) - trim_dist
+    hi = jnp.max(jnp.where(finite, key_t, -jnp.inf), axis=2) + trim_dist
+    find = jax.vmap(functools.partial(jnp.searchsorted, side="left"))
+    start_needed = find(key_sorted, lo)  # (B, T)
+    end_needed = find(key_sorted, hi)
+    overflow = jnp.any(
+        jnp.where(lo <= hi, end_needed - start_needed, 0) > window
+    )
+    start = jnp.clip(start_needed, 0, M - window)
+
+    def stripe_path(args):
+        p, q_sorted, start = args
+        # Contiguous window per (b, t): a vmapped dynamic_slice is a plain
+        # block copy; a take_along_axis gather here is ~10× slower.
+        slice_w = functools.partial(
+            jax.lax.dynamic_slice_in_dim, slice_size=window, axis=0
+        )
+        q_win = jax.vmap(  # over B
+            jax.vmap(slice_w, in_axes=(None, 0)), in_axes=(0, 0)
+        )(q_sorted[..., :3], start)  # (B, T, W, 3)
+        p_tiles = p.reshape(B * T, tn, 3)
+        local_idx, d2 = dense(p_tiles, q_win.reshape(B * T, window, 3))
+        idx = local_idx.reshape(B, T, tn) + start[..., None]
+        return idx.reshape(B, T * tn), d2.reshape(B, T * tn)
+
+    def dense_path(args):
+        p, q_sorted, _ = args
+        return dense(p, q_sorted[..., :3])
+
+    idx, d2 = jax.lax.cond(
+        overflow, dense_path, stripe_path, (p, q_sorted, start)
+    )
+    return idx[:, :N].astype(jnp.int32), d2[:, :N]
+
+
+def nn_argmin_stripe(
+    p: jax.Array,
+    q_sorted: jax.Array,
+    key_sorted: jax.Array,
+    use_x: jax.Array,
+    trim_dist: float,
+    window: int | None = None,
+    tn: int = 256,
+    use_pallas: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Standalone stripe NN: sorts p by key internally, returns results in
+    p's original row order. Prefer :func:`nn_argmin_stripe_presorted` inside
+    iterative solvers (sort once, not per call)."""
+    p_key = jnp.where(use_x[:, None], p[..., 0], p[..., 1])
+    order = jnp.argsort(p_key, axis=1)
+    p_s = jnp.take_along_axis(p, order[..., None], axis=1)
+    idx_s, d2_s = nn_argmin_stripe_presorted(
+        p_s, q_sorted, key_sorted, use_x, trim_dist,
+        window=window, tn=tn, use_pallas=use_pallas,
+    )
+    inv = jnp.argsort(order, axis=1)
+    idx = jnp.take_along_axis(idx_s, inv, axis=1)
+    d2 = jnp.take_along_axis(d2_s, inv, axis=1)
+    return idx, d2

@@ -212,3 +212,83 @@ def test_strong_prior_dominates():
     T = np.asarray(out["T"])[0]
     np.testing.assert_allclose(T[:2, 3], T_prior[0, :2, 3], atol=5e-3)
     np.testing.assert_allclose(T[1, 0], T_prior[0, 1, 0], atol=5e-3)
+
+
+# --------------------------------------------------------------- stripe NN
+def _naive_nn(p, q):
+    d = np.linalg.norm(np.asarray(p)[:, :, None] - np.asarray(q)[:, None], axis=-1)
+    return d.argmin(-1), (d.min(-1) ** 2)
+
+
+def _stripe(p, target, trim=5.0, window=None, tn=64):
+    from mm_masking_tpu.ops.pallas.nn_assoc import (
+        nn_argmin_stripe,
+        stripe_sort_target,
+    )
+
+    q_sorted, key_sorted, use_x = stripe_sort_target(target)
+    idx, d2 = nn_argmin_stripe(
+        p, q_sorted, key_sorted, use_x, trim_dist=trim, window=window, tn=tn
+    )
+    return q_sorted, idx, d2
+
+
+def test_stripe_nn_matches_dense_distances():
+    p, target = make_scene(seed=3, B=2, N=256, M=512)
+    q_sorted, idx, d2 = _stripe(p, target, window=128)
+    # Stripe must select the same neighbors as the dense kernel. Raw d² values
+    # carry layout-dependent f32 cancellation noise (~1e-4 at |p|~40 via the
+    # |p|² − 2pq + |q|² expansion), so assert on indices tightly and d² loosely.
+    idx_dense, d2_dense = nn_argmin_blocked(p, jnp.asarray(q_sorted[..., :3]))
+    assert (np.asarray(idx) == np.asarray(idx_dense)).all()
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d2_dense), atol=1e-3)
+    # Gathered coordinates agree with the naive NN's point (ties aside).
+    _, d2_naive = _naive_nn(p, target[..., :3])
+    q_at = np.take_along_axis(np.asarray(q_sorted)[..., :3],
+                              np.asarray(idx)[..., None], axis=1)
+    d_gather = np.linalg.norm(np.asarray(p) - q_at, axis=-1) ** 2
+    np.testing.assert_allclose(d_gather, d2_naive, rtol=1e-3, atol=1e-6)
+
+
+def test_stripe_nn_overflow_falls_back_dense():
+    # All map mass inside one stripe cell: every tile's needed span is the
+    # whole map, far above the window -> exact dense fallback must kick in.
+    rng = np.random.default_rng(0)
+    q = np.zeros((1, 256, 3), np.float32)
+    q[..., 0] = rng.uniform(-0.1, 0.1, (1, 256))  # x collapsed
+    q[..., 1] = rng.uniform(-40, 40, (1, 256))
+    # y wider than x -> stripe key is y; now collapse y too so spans overflow
+    q[..., 1] = rng.uniform(-0.05, 0.05, (1, 256))
+    p = q[:, :64] + 0.01
+    q_sorted, idx, d2 = _stripe(jnp.asarray(p), jnp.asarray(q), window=32, tn=16)
+    _, d2_naive = _naive_nn(p, q)
+    np.testing.assert_allclose(np.asarray(d2), d2_naive, rtol=1e-4, atol=1e-6)
+
+
+def test_stripe_nn_icp_equals_dense_icp():
+    src, target = make_scene(seed=4, B=2, N=192, M=512)
+    T0 = perturb(2, seed=5, pos=0.4, rot=0.1)
+    cfg_d = ICPConfig(icp_type="pt2pl", max_iterations=8, nn_stripe=False)
+    cfg_s = ICPConfig(icp_type="pt2pl", max_iterations=8, nn_stripe=True,
+                      nn_stripe_window=128)
+    T_d = icp(src, target, T0, cfg=cfg_d)["T"]
+    T_s = icp(src, target, T0, cfg=cfg_s)["T"]
+    np.testing.assert_allclose(np.asarray(T_s), np.asarray(T_d),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stripe_nn_grad_matches_dense():
+    src, target = make_scene(seed=6, B=1, N=128, M=384)
+    T0 = perturb(1, seed=7, pos=0.3, rot=0.05)
+    w0 = jnp.ones(src.shape[:2])
+
+    def loss(w, stripe):
+        cfg = ICPConfig(icp_type="pt2pt", max_iterations=4, nn_stripe=stripe,
+                        nn_stripe_window=96)
+        T = icp(src, target, T0, weight=w, cfg=cfg)["T"]
+        return jnp.sum(jnp.abs(T - jnp.eye(4)))
+
+    g_d = jax.grad(loss)(w0, False)
+    g_s = jax.grad(loss)(w0, True)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d),
+                               rtol=1e-4, atol=1e-6)

@@ -84,3 +84,21 @@ def test_s2d_unet_matches_baseline_unet():
     y0 = np.asarray(base.apply(variables, x, train=False))
     y1 = np.asarray(fast.apply(variables, x, train=False))
     np.testing.assert_allclose(y1, y0, atol=3e-6)
+
+
+def test_tapsum_conv_matches_xla_lowering():
+    """conv_impl is a lowering choice: identical params, same outputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mm_masking_tpu.models.unet import UNet
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 32, 32, 1)), jnp.float32)
+    u_x = UNet(enc_channels=(8, 16), dropout=0.0, conv_impl="xla")
+    u_t = UNet(enc_channels=(8, 16), dropout=0.0, conv_impl="tapsum")
+    v = u_x.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    y_x = u_x.apply(v, x, train=False)
+    y_t = u_t.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_t), np.asarray(y_x),
+                               rtol=1e-5, atol=1e-6)
