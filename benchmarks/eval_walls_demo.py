@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--ckpt", default="results/checkpoints/walls_demo_v2")
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--loc-pts", type=int, default=768)
+    ap.add_argument("--map-pts", type=int, default=2048)
+    ap.add_argument("--pos-std", type=float, default=1.0)
+    ap.add_argument("--rot-std", type=float, default=0.25)
     args = ap.parse_args()
 
     from mm_masking_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
@@ -50,15 +54,16 @@ def main():
 
     cfg = Config(
         model=ModelConfig(icp_type="pt2pl"),
-        data=DataConfig(max_loc_pts=768, max_map_pts=2048, pos_std=1.0,
-                        rot_std=0.25),
+        data=DataConfig(max_loc_pts=args.loc_pts, max_map_pts=args.map_pts,
+                        pos_std=args.pos_std, rot_std=args.rot_std),
         # Optimizer knobs must match the training run: the checkpoint's
         # opt_state tree includes the clip stage.
         train=TrainConfig(checkpoint_dir=args.ckpt, learning_rate=3e-4,
                           clip_value=1.0),
     )
-    spec = SyntheticSpec(scene="walls", clutter_frac=0.35, pos_std=1.0,
-                         rot_std=0.25, n_scan=768, n_map=2048)
+    spec = SyntheticSpec(scene="walls", clutter_frac=0.35,
+                         pos_std=args.pos_std, rot_std=args.rot_std,
+                         n_scan=args.loc_pts, n_map=args.map_pts)
 
     trainer = Trainer(cfg)
     state = restore_checkpoint(args.ckpt, "best_policy", trainer.init_state())

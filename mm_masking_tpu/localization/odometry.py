@@ -211,3 +211,53 @@ class TeachPass:
             self.T_last_key = T
             self.n_keyframes += 1
         return T[0]
+
+
+def descriptor_bootstrap(
+    img_a: jax.Array,
+    pts_a: jax.Array,
+    img_b: jax.Array,
+    pts_b: jax.Array,
+    cart_resolution: float,
+    descriptor: str = "orb",
+    nndr: float = 1.0,
+    ransac_cfg=None,
+    rng: jax.Array | None = None,
+) -> dict:
+    """Appearance-based relative pose between consecutive scans — the C++
+    mcransac module's descriptor path (`radar_config.yaml:146-153`:
+    ``descriptor: orb`` patch 31 / ``nndr``, or BASD nbins 16): descriptors
+    at the extracted keypoints on the cartesian images, Hamming + NNDR +
+    mutual matching, RANSAC consensus. Unlike the NN-correspondence flavor in
+    :func:`register_frame`, this needs NO initial guess — it is the far-init
+    bootstrap whose pose warm-starts ICP (``init_icp``) and whose consensus
+    filters clutter (``filter_pc``).
+
+    img_*: (B, H, W) cartesian images; pts_*: (B, N, 3) extracted keypoints
+    (x=y=0 pads). Returns {'T' (B, 4, 4) mapping a→b, 'inliers', 'ok',
+    'matches' (B, N) int32, 'match_ok' (B, N) bool}.
+    """
+    from mm_masking_tpu.ops.descriptors import (
+        basd_descriptors,
+        match_descriptors,
+        orb_descriptors,
+    )
+    from mm_masking_tpu.ops.mcransac import RansacConfig, mcransac
+
+    desc_fn = orb_descriptors if descriptor == "orb" else basd_descriptors
+    da = jax.vmap(lambda i, p: desc_fn(i, p, cart_resolution))(img_a, pts_a)
+    db = jax.vmap(lambda i, p: desc_fn(i, p, cart_resolution))(img_b, pts_b)
+    va = ~((pts_a[..., 0] == 0.0) & (pts_a[..., 1] == 0.0))
+    vb = ~((pts_b[..., 0] == 0.0) & (pts_b[..., 1] == 0.0))
+    idx, ok = jax.vmap(
+        lambda a, b, xa, xb: match_descriptors(a, b, xa, xb, nndr=nndr)
+    )(da, db, va, vb)
+    tgt = jnp.take_along_axis(pts_b[..., :2], idx[..., None], axis=1)
+    res = mcransac(
+        pts_a[..., :2], tgt, ok,
+        ransac_cfg if ransac_cfg is not None else RansacConfig(),
+        rng=rng,
+    )
+    res["matches"] = idx
+    res["match_ok"] = ok
+    return res

@@ -29,8 +29,16 @@ from mm_masking_tpu.ops.preprocessing import (
     voxel_downsample,
 )
 from mm_masking_tpu.ops.detectors import detect, DETECTORS, doppler_shift
+from mm_masking_tpu.ops.descriptors import (
+    orb_descriptors,
+    basd_descriptors,
+    match_descriptors,
+)
 
 __all__ = [
+    "orb_descriptors",
+    "basd_descriptors",
+    "match_descriptors",
     "grid_sample_2d",
     "grid_sample_points",
     "POLAR_RESOLUTION",
