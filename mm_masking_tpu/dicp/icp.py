@@ -309,6 +309,7 @@ def icp(
 
     if stripe:
         from mm_masking_tpu.ops.pallas.nn_assoc import (
+            coord_major,
             nn_argmin_stripe_presorted,
             stripe_sort_target,
         )
@@ -333,15 +334,21 @@ def icp(
         source_valid = jnp.take_along_axis(source_valid, order, axis=1)
         if weight is not None:
             weight = jnp.take_along_axis(weight, order, axis=1)
+        q_sorted_sg = jax.lax.stop_gradient(target[..., :3])
+        use_pallas = cfg.use_pallas_nn
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
         assoc_fn = functools.partial(
             nn_argmin_stripe_presorted,
-            q_sorted=jax.lax.stop_gradient(target[..., :3]),
+            q_sorted=q_sorted_sg,
             key_sorted=key_sorted,
             use_x=use_x,
             trim_dist=cfg.trim_dist,
             window=cfg.nn_stripe_window or None,
             tn=cfg.nn_stripe_tile,
-            use_pallas=cfg.use_pallas_nn,
+            use_pallas=use_pallas,
+            # Hoist the kernel's coord-major map relayout out of the GN loop.
+            qt_sorted=coord_major(q_sorted_sg) if use_pallas else None,
         )
 
     target_pts = target[..., :3]

@@ -144,27 +144,29 @@ def extract_pc(
     az_mat = jnp.broadcast_to(azimuth_angles[..., None], (B, A, R))
     t_mat = jnp.broadcast_to(azimuth_times[..., None], (B, A, R))
 
-    vec = jnp.stack(
-        [peak_points.reshape(B, -1), az_mat.reshape(B, -1), t_mat.reshape(B, -1)],
-        axis=-1,
-    )  # (B, A*R, 3)
-
-    valid = vec[..., 0] != 0
+    # Channels stay SEPARATE (B, A·R) planes through the scatter: stacking
+    # them to (B, A·R, 3) first puts 3 on the lane dimension, which TPU
+    # layout pads to 128 — a 42× inflation that turns this intermediate into
+    # 22 GB at batch 32 full polar scale (observed compile-time OOM).
+    r_flat = peak_points.reshape(B, -1)
+    valid = r_flat != 0
     rank = jnp.cumsum(valid, axis=1) - 1  # 0-based order among nonzeros
     slots = 2 * max_points
     # Out-of-range / invalid ranks scatter to a dropped overflow slot.
     idx = jnp.where(valid & (rank < slots), rank, slots)
+    rows = jnp.arange(B)[:, None]
 
-    buf = jnp.zeros((B, slots + 1, 3), vec.dtype)
-    buf = buf.at[jnp.arange(B)[:, None], idx, :].set(
-        jnp.where(valid[..., None], vec, 0.0)
-    )
-    buf = buf[:, :slots]
+    def scatter_channel(ch):
+        buf = jnp.zeros((B, slots + 1), ch.dtype)
+        buf = buf.at[rows, idx].set(jnp.where(valid, ch, 0.0))
+        return buf[:, :slots]
 
     # Reference pairing: ends = nonzero[0::2], starts = nonzero[1::2].
-    ends = buf[:, 0::2]
-    starts = buf[:, 1::2]
-    avg = (starts + ends) / 2.0  # (B, max_points, 3)
+    bufs = [scatter_channel(ch)
+            for ch in (r_flat, az_mat.reshape(B, -1), t_mat.reshape(B, -1))]
+    avg = jnp.stack(
+        [(b[:, 1::2] + b[:, 0::2]) / 2.0 for b in bufs], axis=-1
+    )  # (B, max_points, 3)
 
     pc = pol_2_cart_batched(avg)
     if T_ab is not None:

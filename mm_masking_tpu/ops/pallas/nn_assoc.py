@@ -131,25 +131,40 @@ def nn_argmin_pallas(
     return _nn_argmin_pallas(p, q, tn=tn, tm=tm, interpret=interpret)
 
 
+def coord_major(q: jax.Array, m_pad: int = 0) -> jax.Array:
+    """(B, M, 3) point-major → (B, 8, M+m_pad) coord-major kernel layout
+    (rows x, y, z, then zero rows; m_pad columns of far sentinels). Build
+    this ONCE for a map reused across solver iterations — re-transposing a
+    loop-invariant 64 MB map every iteration is measurable."""
+    B = q.shape[0]
+    if m_pad:
+        q = jnp.concatenate(
+            [q, jnp.full((B, m_pad, 3), 1e30, q.dtype)], axis=1
+        )
+    return jnp.pad(jnp.swapaxes(q, -1, -2), ((0, 0), (0, 5), (0, 0)))
+
+
 @functools.partial(jax.jit, static_argnames=("tn", "tm", "interpret"))
 def _nn_argmin_pallas(
     p: jax.Array, q: jax.Array, tn: int, tm: int, interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    B, N, _ = p.shape
     M = q.shape[1]
-    n_pad = -N % tn
-    m_pad = -M % tm
+    QT = coord_major(q, m_pad=-M % tm)  # (B, 8, Mp)
+    return _nn_argmin_pallas_fmt(p, QT, tn=tn, tm=tm, interpret=interpret)
 
-    # p stays point-major (N, 8) — coords on lanes; q goes coord-major (8, M).
+
+@functools.partial(jax.jit, static_argnames=("tn", "tm", "interpret"))
+def _nn_argmin_pallas_fmt(
+    p: jax.Array, QT: jax.Array, tn: int, tm: int, interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Core kernel over a pre-formatted coord-major map (see coord_major)."""
+    B, N, _ = p.shape
+    n_pad = -N % tn
+    # p stays point-major (N, 8) — coords on lanes.
     P = jnp.pad(p, ((0, 0), (0, n_pad), (0, 5)))  # (B, Np, 8)
-    if m_pad:
-        # Far sentinels so pads never win the argmin.
-        q = jnp.concatenate(
-            [q, jnp.full((B, m_pad, 3), 1e30, q.dtype)], axis=1
-        )
-    QT = jnp.pad(jnp.swapaxes(q, -1, -2), ((0, 0), (0, 5), (0, 0)))  # (B, 8, Mp)
 
     Np, Mp = P.shape[1], QT.shape[2]
+    assert Mp % tm == 0, (Mp, tm)
     nk = Mp // tm
 
     idx, d2 = pl.pallas_call(
@@ -183,14 +198,15 @@ def _nn_argmin_pallas(
 
 
 def nn_argmin(
-    p: jax.Array, q: jax.Array, use_pallas: bool | None = None
+    p: jax.Array, q: jax.Array, use_pallas: bool | None = None,
+    tm: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Dispatch: Pallas kernel on TPU, blocked XLA elsewhere."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        return nn_argmin_pallas(p, q)
-    return nn_argmin_blocked(p, q)
+        return nn_argmin_pallas(p, q, tm=tm)
+    return nn_argmin_blocked(p, q, chunk=tm or 2048)
 
 
 # ---------------------------------------------------------------------------
@@ -246,6 +262,7 @@ def nn_argmin_stripe_presorted(
     window: int | None = None,
     tn: int = 256,
     use_pallas: bool | None = None,
+    qt_sorted: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Stripe NN for scan rows already GROUPED by key (see module comment).
 
@@ -257,6 +274,10 @@ def nn_argmin_stripe_presorted(
     more than the window saves (measured 2× slower overall on v5e).
 
     p: (B, N, 3); q_sorted/key_sorted/use_x from :func:`stripe_sort_target`.
+    qt_sorted: optional pre-formatted coord-major map (:func:`coord_major`
+    of q_sorted, no tail pad) — lets an iterative caller hoist the (B, 8, M)
+    relayout out of its loop (re-materializing it per iteration is a
+    measurable fraction of the stripe win).
     Returns (idx (B, N) into the SORTED map, d2 (B, N)) in p's row order.
     """
     B, N, _ = p.shape
@@ -288,18 +309,35 @@ def nn_argmin_stripe_presorted(
     )
     start = jnp.clip(start_needed, 0, M - window)
 
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
     def stripe_path(args):
         p, q_sorted, start = args
+        p_tiles = p.reshape(B * T, tn, 3)
         # Contiguous window per (b, t): a vmapped dynamic_slice is a plain
         # block copy; a take_along_axis gather here is ~10× slower.
-        slice_w = functools.partial(
-            jax.lax.dynamic_slice_in_dim, slice_size=window, axis=0
-        )
-        q_win = jax.vmap(  # over B
-            jax.vmap(slice_w, in_axes=(None, 0)), in_axes=(0, 0)
-        )(q_sorted[..., :3], start)  # (B, T, W, 3)
-        p_tiles = p.reshape(B * T, tn, 3)
-        local_idx, d2 = dense(p_tiles, q_win.reshape(B * T, window, 3))
+        if use_pallas and qt_sorted is not None and window % 512 == 0:
+            # Slice the pre-formatted coord-major map directly — no
+            # per-iteration (B·T, 8, W) transpose.
+            slice_w = functools.partial(
+                jax.lax.dynamic_slice_in_dim, slice_size=window, axis=1
+            )
+            qt_win = jax.vmap(
+                jax.vmap(slice_w, in_axes=(None, 0)), in_axes=(0, 0)
+            )(qt_sorted, start)  # (B, T, 8, W)
+            local_idx, d2 = _nn_argmin_pallas_fmt(
+                p_tiles, qt_win.reshape(B * T, 8, window),
+                tn=min(256, tn), tm=window,
+            )
+        else:
+            slice_w = functools.partial(
+                jax.lax.dynamic_slice_in_dim, slice_size=window, axis=0
+            )
+            q_win = jax.vmap(  # over B
+                jax.vmap(slice_w, in_axes=(None, 0)), in_axes=(0, 0)
+            )(q_sorted[..., :3], start)  # (B, T, W, 3)
+            local_idx, d2 = dense(p_tiles, q_win.reshape(B * T, window, 3))
         idx = local_idx.reshape(B, T, tn) + start[..., None]
         return idx.reshape(B, T * tn), d2.reshape(B, T * tn)
 

@@ -292,3 +292,21 @@ def test_stripe_nn_grad_matches_dense():
     g_s = jax.grad(loss)(w0, True)
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_nn_pallas_fmt_coordmajor_matches_blocked():
+    """The pre-formatted coord-major kernel entry (the stripe fast path)
+    returns the same minima as the blocked kernel."""
+    from mm_masking_tpu.ops.pallas.nn_assoc import (
+        _nn_argmin_pallas_fmt,
+        coord_major,
+    )
+
+    rng = np.random.default_rng(11)
+    p = jnp.asarray(rng.uniform(-30, 30, (2, 192, 3)), jnp.float32)
+    q = jnp.asarray(rng.uniform(-30, 30, (2, 512, 3)), jnp.float32)
+    qt = coord_major(q)
+    idx_f, d2_f = _nn_argmin_pallas_fmt(p, qt, tn=64, tm=512, interpret=True)
+    idx_b, d2_b = nn_argmin_blocked(p, q)
+    assert (np.asarray(idx_f) == np.asarray(idx_b)).all()
+    np.testing.assert_allclose(np.asarray(d2_f), np.asarray(d2_b), atol=1e-3)
