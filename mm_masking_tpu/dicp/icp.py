@@ -325,7 +325,8 @@ def icp(
             jax.lax.stop_gradient(target)
         )
         p0 = jax.lax.stop_gradient(
-            jnp.einsum("bij,bnj->bni", T_init[:, :3, :3], source)
+            jnp.einsum("bij,bnj->bni", T_init[:, :3, :3], source,
+                       precision="highest")
             + T_init[:, None, :3, 3]
         )
         p0_key = jnp.where(use_x[:, None], p0[..., 0], p0[..., 1])
