@@ -209,18 +209,42 @@ class PoseGraph:
         raise GraphError(f"vertex {vid_unpack(v.id)} has no '{stream}' data")
 
     # ------------------------------------------------------------- iteration
+    # Adjacency indices are built once on first use (convert_graph walks call
+    # these per localization vertex — rebuilding per call makes the whole
+    # conversion O(frames × edges)).
+    @property
+    def _temporal_adjacency(self):
+        cached = getattr(self, "_temporal_adj_cache", None)
+        if cached is None:
+            incoming: dict[int, Edge] = {}
+            outgoing: dict[int, Edge] = {}
+            for e in self.edges:
+                if e.type == TEMPORAL:
+                    incoming[e.to_id] = e
+                    outgoing[e.from_id] = e
+            cached = (incoming, outgoing)
+            self._temporal_adj_cache = cached
+        return cached
+
+    @property
+    def _spatial_adjacency(self) -> dict[int, list[int]]:
+        cached = getattr(self, "_spatial_adj_cache", None)
+        if cached is None:
+            cached = {}
+            for e in self.edges:
+                if e.type == SPATIAL:
+                    cached.setdefault(e.from_id, []).append(e.to_id)
+                    cached.setdefault(e.to_id, []).append(e.from_id)
+            self._spatial_adj_cache = cached
+        return cached
+
     def temporal_iterator(self, v_start: Vertex) -> Iterator[tuple[Vertex, Edge]]:
         """Walk the temporal chain from ``v_start``, yielding ``(vertex,
         incoming_edge)``. The first yield carries a sentinel edge with
         ``from_id == INVALID_ID`` — callers skip it, exactly as the reference
         skips invalid-edge entries (`icp_weight_dataset.py:151-153`).
         """
-        incoming: dict[int, Edge] = {}
-        outgoing: dict[int, Edge] = {}
-        for e in self.edges:
-            if e.type == TEMPORAL:
-                incoming[e.to_id] = e
-                outgoing[e.from_id] = e
+        incoming, outgoing = self._temporal_adjacency
 
         sentinel = Edge(id=INVALID_ID, type=TEMPORAL, from_id=INVALID_ID,
                         to_id=v_start.id, t_to_from=np.zeros(6))
@@ -240,11 +264,7 @@ class PoseGraph:
         ``GraphError`` when the repeat vertex does not connect — the condition
         the reference catches and skips (`icp_weight_dataset.py:157-163`).
         """
-        spatial: dict[int, list[int]] = {}
-        for e in self.edges:
-            if e.type == SPATIAL:
-                spatial.setdefault(e.from_id, []).append(e.to_id)
-                spatial.setdefault(e.to_id, []).append(e.from_id)
+        spatial = self._spatial_adjacency
 
         seen = {v.id}
         frontier = [v.id]

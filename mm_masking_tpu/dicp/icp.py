@@ -322,7 +322,7 @@ def icp(
         # differentiable gather below). Sorting per iteration instead costs
         # more than the stripe saves (measured on v5e).
         target, key_sorted, use_x = stripe_sort_target(
-            jax.lax.stop_gradient(target)
+            jax.lax.stop_gradient(target), pad_val=cfg.target_pad_val
         )
         p0 = jax.lax.stop_gradient(
             jnp.einsum("bij,bnj->bni", T_init[:, :3, :3], source,

@@ -186,9 +186,18 @@ def localize_sequence(
     ({'T', 'points', 'weights', 'matched_ratio', 'ok'}).
     """
     if isinstance(frames, (list, tuple)):
+        # Normalize each per-frame dict to batched form and CONCATENATE — a
+        # dict may legitimately carry several frames on a leading batch axis
+        # (the shape localize_frame itself takes); slicing [0] here would
+        # silently drop all but the first.
+        def batched(v, base_ndim):
+            v = jnp.asarray(v)
+            return v if v.ndim > base_ndim else v[None]
+
         frames = {
-            k: jnp.stack([jnp.asarray(fr[k])[0] if fr[k].ndim > (2 if k == "fft" else 1)
-                          else jnp.asarray(fr[k]) for fr in frames])
+            k: jnp.concatenate(
+                [batched(fr[k], 2 if k == "fft" else 1) for fr in frames]
+            )
             for k in ("fft", "azimuths", "az_times")
         }
     F = frames["fft"].shape[0]

@@ -65,12 +65,16 @@ def _bilinear(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
 def points_to_pixels(
     pts: jax.Array, cart_resolution: float, cart_pixel_width: int
 ) -> tuple[jax.Array, jax.Array]:
-    """Metric (x fwd, y left) → (row u, col v) on the cartesian image,
-    matching the reference pixel convention (`radar_utils.py:374-397`:
-    up = −x, +width/2 top-left origin)."""
-    u = -pts[..., 0] / cart_resolution + (cart_pixel_width - 1) / 2.0
-    v = pts[..., 1] / cart_resolution + (cart_pixel_width - 1) / 2.0
-    return u, v
+    """Metric (x fwd, y left) → (row u, col v) on the cartesian image.
+
+    Delegates to :func:`mm_masking_tpu.ops.radar.point_to_cart_idx` so the
+    whole codebase carries ONE pixel convention (`radar_utils.py:374-397`:
+    up = −x, +width/2 top-left origin) — a second local copy drifted by half
+    a pixel before this."""
+    from mm_masking_tpu.ops.radar import point_to_cart_idx
+
+    uv = point_to_cart_idx(pts, cart_resolution, cart_pixel_width)
+    return uv[..., 0], uv[..., 1]
 
 
 def _pack_bits(bits: jax.Array) -> jax.Array:
@@ -255,9 +259,11 @@ def match_descriptors(
     # Second best for the ratio test.
     d_wo = d.at[jnp.arange(d.shape[0]), idx_b].set(big)
     d2 = jnp.min(d_wo, axis=1)
-    ratio_ok = d1.astype(jnp.float32) < nndr * jnp.maximum(
-        d2.astype(jnp.float32), 1.0
-    )
+    # Non-strict ≤: at nndr=1.0 (the reference default) d1 ≤ d2 always holds
+    # so the ratio test is genuinely disabled — a strict < would reject every
+    # tied best/second-best pair, and integer Hamming ties are common for
+    # 256-bit descriptors on low-texture radar patches.
+    ratio_ok = d1.astype(jnp.float32) <= nndr * d2.astype(jnp.float32)
     # Mutual best: a must also be b's best.
     back = jnp.argmin(d, axis=0).astype(jnp.int32)  # (Nb,)
     mutual = back[idx_b] == jnp.arange(d.shape[0], dtype=jnp.int32)

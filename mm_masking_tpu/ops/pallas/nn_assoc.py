@@ -223,8 +223,10 @@ def nn_argmin(
 # A fixed window of W map points starting at searchsorted(tile_min − trim)
 # covers that run whenever the run's length ≤ W; the kernel checks this per
 # tile and falls back to the dense path for the whole call if ANY tile
-# overflows (lax.cond), so results are exact by construction — identical
-# distances, first-occurrence-in-sorted-order indices.
+# overflows (lax.cond). Within trim the result is therefore exact (same
+# neighbor as dense, first-occurrence-in-sorted-order index); a point whose
+# true NN lies BEYOND trim may get a different — also beyond-trim —
+# candidate, which the GN step weights to zero either way.
 #
 # Work drops from N·M to N·W pairs per iteration (4× at the default
 # W = M/4), at the cost of one (B, N) sort + (B, T, W) gather per iteration
@@ -233,7 +235,7 @@ def nn_argmin(
 
 
 def stripe_sort_target(
-    q_full: jax.Array,
+    q_full: jax.Array, pad_val: float = 1000.0
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Sort map rows by their widest-spread planar coordinate.
 
@@ -242,9 +244,16 @@ def stripe_sort_target(
     Pad rows (`target_pad_val` sentinels, +1000) sort to the top end and are
     never within trim of a real point. NaN keys sort last.
     """
-    span = jnp.nanmax(q_full[..., :2], axis=1) - jnp.nanmin(
-        q_full[..., :2], axis=1
-    )  # (B, 2)
+    # Span over REAL rows only: including the +pad_val sentinels would turn
+    # "widest-spread axis" into "axis with the smaller minimum" and can pick
+    # the narrow axis — every tile then overflows its window and the call
+    # silently runs the dense fallback each iteration.
+    real = ~(
+        (q_full[..., 0] == pad_val) & (q_full[..., 1] == pad_val)
+    )  # (B, M)
+    masked = jnp.where(real[..., None], q_full[..., :2], jnp.nan)
+    span = jnp.nanmax(masked, axis=1) - jnp.nanmin(masked, axis=1)  # (B, 2)
+    span = jnp.where(jnp.isnan(span), 0.0, span)
     use_x = span[:, 0] >= span[:, 1]
     key = jnp.where(use_x[:, None], q_full[..., 0], q_full[..., 1])
     order = jnp.argsort(key, axis=1)
@@ -292,8 +301,14 @@ def nn_argmin_stripe_presorted(
     if window >= M or N + n_pad <= tn:
         return dense(p, q_sorted[..., :3])
     if n_pad:
-        # Trailing zero rows join the last tile; they only widen its window.
-        p = jnp.concatenate([p, jnp.zeros((B, n_pad, 3), p.dtype)], axis=1)
+        # Pad by REPEATING the last row: its key matches the last tile's, so
+        # the window is unaffected. Zero rows would inject key 0 into the
+        # last tile — for scans far from the key origin that tile's needed
+        # run then exceeds the window and the whole call silently falls back
+        # to dense every iteration.
+        p = jnp.concatenate(
+            [p, jnp.broadcast_to(p[:, -1:], (B, n_pad, 3))], axis=1
+        )
     T = (N + n_pad) // tn
 
     p_key = jnp.where(use_x[:, None], p[..., 0], p[..., 1])

@@ -310,3 +310,18 @@ def test_nn_pallas_fmt_coordmajor_matches_blocked():
     idx_b, d2_b = nn_argmin_blocked(p, q)
     assert (np.asarray(idx_f) == np.asarray(idx_b)).all()
     np.testing.assert_allclose(np.asarray(d2_f), np.asarray(d2_b), atol=1e-3)
+
+
+def test_stripe_axis_choice_ignores_pad_rows():
+    """Sentinel pad rows (+1000) must not steer the sort-axis heuristic:
+    with x collapsed and y wide, the key axis must be y even though the pad
+    value dominates both raw spans."""
+    from mm_masking_tpu.ops.pallas.nn_assoc import stripe_sort_target
+
+    rng = np.random.default_rng(5)
+    q = np.zeros((1, 128, 3), np.float32)
+    q[0, :, 0] = rng.uniform(10, 15, 128)     # x span 5
+    q[0, :, 1] = rng.uniform(20, 120, 128)    # y span 100
+    q[0, -30:, :] = 1000.0                    # pad sentinels
+    _, _, use_x = stripe_sort_target(jnp.asarray(q))
+    assert not bool(use_x[0])
