@@ -321,6 +321,11 @@ def icp(
         # is unchanged; the weight gradient is permuted back by the
         # differentiable gather below). Sorting per iteration instead costs
         # more than the stripe saves (measured on v5e).
+        # Associations are verified exact-within-trim vs the dense kernel on
+        # TPU; poses can still differ at f32-rounding order on batch items
+        # where the solve itself diverges (permuted rows → different
+        # reduction order, amplified by a chaotic trajectory) — both outputs
+        # are equally valid solver results there.
         target, key_sorted, use_x = stripe_sort_target(
             jax.lax.stop_gradient(target), pad_val=cfg.target_pad_val
         )

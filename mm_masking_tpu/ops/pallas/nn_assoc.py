@@ -262,6 +262,82 @@ def stripe_sort_target(
     return q_sorted, key_sorted, use_x
 
 
+def _nn_stripe_kernel(start_blk_ref, p_ref, q_ref, idx_ref, d2_ref,
+                      mval, midx, *, tm: int, nk: int):
+    """Stripe tile kernel: map blocks arrive at DYNAMIC offsets via
+    scalar-prefetched block indices (the BlockSpec index map reads
+    start_blk[b, t]) — no host-side window materialization at all."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        mval[:] = jnp.full_like(mval[:], jnp.inf)
+        midx[:] = jnp.zeros_like(midx[:])
+
+    p = p_ref[0]  # (tn, 8)
+    q = q_ref[0]  # (8, tm)
+    dx = p[:, 0:1] - q[0:1, :]
+    dy = p[:, 1:2] - q[1:2, :]
+    dz = p[:, 2:3] - q[2:3, :]
+    d = dx * dx + dy * dy + dz * dz
+
+    base = (start_blk_ref[b, t] + k) * tm  # global column of this block
+    local_min = jnp.min(d, axis=1, keepdims=True)
+    local_arg = jnp.argmin(d, axis=1).reshape(-1, 1).astype(jnp.int32) + base
+
+    better = local_min < mval[:]
+    mval[:] = jnp.where(better, local_min, mval[:])
+    midx[:] = jnp.where(better, local_arg, midx[:])
+
+    @pl.when(k == nk - 1)
+    def _():
+        idx_ref[0, 0, :] = midx[:, 0]
+        d2_ref[0, 0, :] = mval[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("tn", "tm", "nk", "interpret"))
+def _nn_stripe_pallas(
+    p: jax.Array,       # (B, T*tn, 8) point-major, coords on lanes
+    QT: jax.Array,      # (B, 8, M) coord-major map, M % tm == 0
+    start_blk: jax.Array,  # (B, T) int32 first map-block index per tile
+    tn: int, tm: int, nk: int, interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    B, N, _ = p.shape
+    T = N // tn
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, T, nk),
+        in_specs=[
+            pl.BlockSpec((1, tn, 8), lambda b, t, k, sb: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tm), lambda b, t, k, sb: (b, 0, sb[b, t] + k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tn), lambda b, t, k, sb: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tn), lambda b, t, k, sb: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tn, 1), p.dtype),
+            pltpu.VMEM((tn, 1), jnp.int32),
+        ],
+    )
+    idx, d2 = pl.pallas_call(
+        functools.partial(_nn_stripe_kernel, tm=tm, nk=nk),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, N), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, N), p.dtype),
+        ],
+        interpret=interpret,
+    )(start_blk, p, QT)
+    return idx[:, 0], d2[:, 0]
+
+
 def nn_argmin_stripe_presorted(
     p: jax.Array,
     q_sorted: jax.Array,
@@ -326,6 +402,13 @@ def nn_argmin_stripe_presorted(
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+
+    # NOTE: a scalar-prefetch kernel variant (`_nn_stripe_pallas` below —
+    # map blocks fetched at dynamic offsets straight from the coord-major
+    # array, zero window copies) measures association-exact but NO faster
+    # than this window path on v5e (380 vs 355 ms on the 50-iter eval solve:
+    # the vmapped dynamic_slice window copy was never the bottleneck). Kept
+    # unit-tested as the documented alternative; not wired in.
 
     def stripe_path(args):
         p, q_sorted, start = args

@@ -325,3 +325,36 @@ def test_stripe_axis_choice_ignores_pad_rows():
     q[0, -30:, :] = 1000.0                    # pad sentinels
     _, _, use_x = stripe_sort_target(jnp.asarray(q))
     assert not bool(use_x[0])
+
+
+def test_nn_stripe_prefetch_kernel_matches_blocked():
+    """Scalar-prefetch stripe kernel (interpret mode): global indices and
+    distances match the dense blocked kernel wherever the true NN lies
+    inside the tile's block span."""
+    from mm_masking_tpu.ops.pallas.nn_assoc import (
+        _nn_stripe_pallas,
+        coord_major,
+    )
+
+    rng = np.random.default_rng(17)
+    B, N, M, tn, tm = 2, 128, 1024, 64, 128
+    # Scan and map over the same 1-D band so sorted tiles see local windows.
+    q = np.zeros((B, M, 3), np.float32)
+    q[..., 0] = np.sort(rng.uniform(-50, 50, (B, M)), axis=1)
+    q[..., 1] = rng.uniform(-5, 5, (B, M))
+    p = np.zeros((B, N, 3), np.float32)
+    p[..., 0] = np.sort(rng.uniform(-45, 45, (B, N)), axis=1)
+    p[..., 1] = rng.uniform(-5, 5, (B, N))
+
+    # Per-tile block starts sized to cover each tile's span generously.
+    T = N // tn
+    nk = M // tm  # cover the whole map -> must equal dense exactly
+    start_blk = np.zeros((B, T), np.int32)
+    P8 = jnp.pad(jnp.asarray(p), ((0, 0), (0, 0), (0, 5)))
+    idx_s, d2_s = _nn_stripe_pallas(
+        P8, coord_major(jnp.asarray(q)), jnp.asarray(start_blk),
+        tn=tn, tm=tm, nk=nk, interpret=True,
+    )
+    idx_b, d2_b = nn_argmin_blocked(jnp.asarray(p), jnp.asarray(q))
+    assert (np.asarray(idx_s) == np.asarray(idx_b)).all()
+    np.testing.assert_allclose(np.asarray(d2_s), np.asarray(d2_b), atol=1e-3)
