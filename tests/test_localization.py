@@ -167,3 +167,42 @@ def test_teach_localize_eval_end_to_end(tmp_path):
     assert stats["trans_rmse"] < 0.15, stats
     assert stats["rot_rmse"] < 0.03, stats
     assert osp.exists(tmp_path / "aligned_gt.txt")
+
+
+def test_localize_sequence_mesh_equals_single_device():
+    """Config-5 multichip surface: sharding frames over the 8-device mesh
+    must give the same trajectory as a 1-device run (and as the batched
+    list-of-frames input form)."""
+    import jax
+    from mm_masking_tpu.localization import localize_sequence
+    from mm_masking_tpu.parallel.mesh import make_mesh
+
+    b = synthetic_batch(3, batch=8, spec=SPEC)
+    frames = {
+        "fft": b["loc_data"]["fft_data"],
+        "azimuths": b["loc_data"]["azimuths"],
+        "az_times": b["loc_data"]["az_times"],
+    }
+    cfg = LocalizationConfig(
+        detector="modified_cacfar",
+        detector_kwargs=(("width", 21), ("guard", 2), ("maxr", 15.0)),
+        radar_resolution=SPEC.res, max_points=256, beta=0.0,
+        icp_type="pt2pl", refined_max_iter=8,
+    )
+    map_pc = b["map_data"]["pc"][:1]
+    out1 = localize_sequence(frames, map_pc, cfg=cfg, batch_size=8,
+                             mesh=make_mesh(1))
+    out8 = localize_sequence(frames, map_pc, cfg=cfg, batch_size=8,
+                             mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(out8["T"]), np.asarray(out1["T"]),
+                               rtol=1e-5, atol=1e-5)
+
+    # list-of-frames input with a batch axis must NOT drop frames
+    split = [
+        {k: v[:5] for k, v in frames.items()},
+        {k: v[5:] for k, v in frames.items()},
+    ]
+    out_l = localize_sequence(split, map_pc, cfg=cfg, batch_size=8)
+    assert out_l["T"].shape[0] == 8
+    np.testing.assert_allclose(np.asarray(out_l["T"]), np.asarray(out1["T"]),
+                               rtol=1e-5, atol=1e-5)
