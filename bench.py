@@ -143,6 +143,33 @@ def main():
     mfu_train = train_flops / t_train / PEAK_BF16
     mfu_eval = eval_flops / t_eval / PEAK_BF16
 
+    # Production operating point: the headline above keeps the reference's
+    # batch sizes (16/32) for round-to-round comparability, but this chip's
+    # XLA assigns low-channel bf16 activations 8x-padded layouts, and the
+    # padding amortizes with batch (docs/BENCH_DETAIL.md) — at batch 128
+    # with remat'd conv blocks the SAME model trains 2.5x faster per sample.
+    prod_cfg = Config(
+        model=ModelConfig(dropout=0.05, max_iter=10, inference_max_iter=50,
+                          dtype="bfloat16", remat=True),
+        train=TrainConfig(batch_size_train=128, batch_size_test=64),
+    )
+    prod_trainer = Trainer(prod_cfg, mesh=trainer.mesh,
+                           logger=trainer.logger)
+    prod_state = prod_trainer.init_state()
+    tb128 = shard_batch(synthetic_batch(2, batch=128, spec=spec), trainer.mesh)
+    eb64 = shard_batch(synthetic_batch(3, batch=64, spec=spec), trainer.mesh)
+    t_train_p = time_fn(
+        lambda: prod_trainer._train_step(prod_state, tb128,
+                                         mask_losses_active=True),
+        iters=4,
+    )
+    t_eval_p = time_fn(
+        lambda: prod_trainer._eval_step(prod_state, eb64, binary=False),
+        iters=4,
+    )
+    prod_train_sps = 128 / t_train_p
+    prod_eval_sps = 64 / t_eval_p
+
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     vs_baseline = 0.0
     if os.path.exists(baseline_path):
@@ -156,6 +183,14 @@ def main():
         "eval_scan_pairs_per_sec": round(eval_sps, 3),
         "train_step_ms": round(t_train * 1e3, 2),
         "eval_step_ms": round(t_eval * 1e3, 2),
+        "production_point": {
+            "train_b128_remat_pairs_per_sec": round(prod_train_sps, 2),
+            "eval_b64_pairs_per_sec": round(prod_eval_sps, 2),
+            "combined_pairs_per_sec": round(
+                2.0 / (1.0 / prod_train_sps + 1.0 / prod_eval_sps), 2),
+            "note": "same model, throughput-optimal batches; headline keeps "
+                    "the reference's 16/32",
+        },
         "mfu_train": round(mfu_train, 4),
         "mfu_eval": round(mfu_eval, 4),
         "device": str(jax.devices()[0]),

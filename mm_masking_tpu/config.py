@@ -69,6 +69,10 @@ class ModelConfig:
     # (breaks XLA's bias/relu-into-conv fusion) — measured, docs/BENCH_DETAIL.md.
     # Checkpoint-compatible lowering choice.
     conv_impl: str = "xla"
+    # Rematerialize UNet conv blocks on the backward pass (jax.checkpoint):
+    # required to fit train batches ≥ 64 in HBM, where XLA's 8× low-channel
+    # layout padding amortizes (docs/BENCH_DETAIL.md). Numerics exact.
+    remat: bool = False
 
     @property
     def in_channels(self) -> int:

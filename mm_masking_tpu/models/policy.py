@@ -54,6 +54,7 @@ class LearnICPWeightPolicy:
             dtype=m.jax_dtype,
             s2d=m.s2d_convs,
             conv_impl=m.conv_impl,
+            remat=m.remat,
         )
         if m.network_input_type == "cartesian":
             self.range_mask, _ = form_cart_range_angle_grid(

@@ -141,7 +141,9 @@ class ConvBlock(nn.Module):
     conv_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool = False):
+        # `train` is positional (not keyword-only) so nn.remat can declare it
+        # static (static_argnums below) — it reaches Python control flow.
         act = (lambda v: nn.leaky_relu(v, 0.1)) if self.leaky else nn.relu
         # Explicit names keep the param tree identical to the former nn.Conv
         # modules — checkpoints restore across the layout switch.
@@ -170,9 +172,15 @@ class UNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     s2d: bool = False  # execute low-channel convs in space-to-depth layout
     conv_impl: str = "xla"  # "xla" | "tapsum" conv lowering
+    # Rematerialize each conv block on the backward pass (jax.checkpoint).
+    # The train step is padded-HBM-bound on this chip (docs/BENCH_DETAIL.md),
+    # so trading recompute for resident activations lets batch 64 compile —
+    # larger batches amortize XLA's 8x low-channel layout padding.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        Block = nn.remat(ConvBlock, static_argnums=(2,)) if self.remat else ConvBlock
         enc = list(self.enc_channels)
         dec = list(reversed(enc))  # [256, 128, 64, 32, 16, 8]
 
@@ -181,7 +189,9 @@ class UNet(nn.Module):
         skips = []
         for i, ch in enumerate(enc):
             skips.append(x)
-            x = ConvBlock(
+            # Explicit names keep the param tree identical with and without
+            # the remat wrapper (auto-naming would become CheckpointConvBlock).
+            x = Block(
                 features=ch,
                 leaky=self.leaky,
                 batch_norm=self.batch_norm,
@@ -190,12 +200,13 @@ class UNet(nn.Module):
                 dtype=self.dtype,
                 s2d=self.s2d,
                 conv_impl=self.conv_impl,
-            )(x, train=train)
+                name=f"ConvBlock_{i}",
+            )(x, train)
         skips.reverse()
 
         # Decoder with the double-application weight sharing.
         for i in range(len(dec) - 1):
-            block = ConvBlock(
+            block = Block(
                 features=dec[i + 1],
                 leaky=self.leaky,
                 batch_norm=self.batch_norm,
@@ -204,12 +215,13 @@ class UNet(nn.Module):
                 dtype=self.dtype,
                 s2d=self.s2d,
                 conv_impl=self.conv_impl,
+                name=f"ConvBlock_{len(enc) + i}",
             )
             skip = skips[i]
             x = upsample_bilinear_align_corners(x, skip.shape[1:3])
-            x = block(x, train=train)
+            x = block(x, train)
             x = jnp.concatenate([skip, x], axis=-1)
-            x = block(x, train=train)
+            x = block(x, train)
 
         x = nn.Conv(
             1,
