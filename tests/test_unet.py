@@ -102,3 +102,26 @@ def test_tapsum_conv_matches_xla_lowering():
     y_t = u_t.apply(v, x, train=False)
     np.testing.assert_allclose(np.asarray(y_t), np.asarray(y_x),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_remat_blocks_match_plain_execution():
+    """remat is an execution choice: same param tree, same outputs/grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mm_masking_tpu.models.unet import UNet
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((2, 32, 32, 1)), jnp.float32)
+    u0 = UNet(enc_channels=(8, 16), dropout=0.0, remat=False)
+    u1 = UNet(enc_channels=(8, 16), dropout=0.0, remat=True)
+    v = u0.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    np.testing.assert_array_equal(
+        np.asarray(u1.apply(v, x, train=False)),
+        np.asarray(u0.apply(v, x, train=False)),
+    )
+    g0 = jax.grad(lambda v: jnp.sum(u0.apply(v, x, train=False)))(v)
+    g1 = jax.grad(lambda v: jnp.sum(u1.apply(v, x, train=False)))(v)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
