@@ -31,6 +31,39 @@ from mm_masking_tpu.ops import (
 )
 
 
+@jax.custom_vjp
+def _safe_amax_hw(x: jax.Array) -> jax.Array:
+    """(B, H, W) → (B, 1, 1) max with a NaN-proof backward.
+
+    `jnp.amax`'s automatic VJP detects ties by comparing elements against the
+    reduced max; on TPU, when the operand was produced by a bf16 subgraph,
+    XLA's fusion can compute the reduction at a different effective precision
+    than the elementwise values it compares against — zero elements then
+    "equal" the max and the even-tie-split divides by zero, flooding every
+    upstream gradient with NaN (observed: bf16 UNet + norm_weights froze
+    training; apply_if_finite dropped every update). This backward uses a
+    ≥-comparison with the tie count clamped to ≥ 1: identical even-split
+    semantics when equality holds, zero (finite) gradient instead of NaN
+    when fusion rounding makes the compare come up empty.
+    """
+    return jnp.amax(x, axis=(1, 2), keepdims=True)
+
+
+def _safe_amax_hw_fwd(x):
+    m = jnp.amax(x, axis=(1, 2), keepdims=True)
+    return m, (x, m)
+
+
+def _safe_amax_hw_bwd(res, g):
+    x, m = res
+    ties = (x >= m).astype(x.dtype)
+    cnt = jnp.maximum(jnp.sum(ties, axis=(1, 2), keepdims=True), 1.0)
+    return (g * ties / cnt,)
+
+
+_safe_amax_hw.defvjp(_safe_amax_hw_fwd, _safe_amax_hw_bwd)
+
+
 class PolicyOutput(NamedTuple):
     T_pred: jax.Array  # (B, 4, 4)
     weight_mask: jax.Array  # (B, H, W)
@@ -165,9 +198,7 @@ class LearnICPWeightPolicy:
             weight_mask = override_mask
 
         if m.norm_weights:
-            weight_mask = weight_mask / jnp.amax(
-                weight_mask, axis=(1, 2), keepdims=True
-            )
+            weight_mask = weight_mask / _safe_amax_hw(weight_mask)
             # XLA TPU lowers divide to multiply-by-reciprocal, which can
             # overshoot 1 by an ulp (observed: 1.0000001) — torch's true
             # division never does, and downstream BCE NaNs on p > 1.
