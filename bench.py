@@ -13,13 +13,21 @@ PyTorch pipeline measured on this host at the SAME shapes and batch sizes
 (bench_baseline.json, with provenance; the reference repo ships no numbers of
 its own — BASELINE.md).
 
-Set BENCH_FULL=1 to additionally time all five BASELINE.json configs
-(adds several compile-minutes; the headline run stays lean for the driver).
+Set BENCH_FULL=1 to additionally time the batch-128 production point and all
+five BASELINE.json configs (adds several compile-minutes; the headline run
+stays lean for the driver and prints its JSON the moment the two reference
+measurements land).
+
+A wall-clock budget guard (BENCH_BUDGET_S, default 1320 s) emits the JSON
+with whatever phases completed if measurement overruns — the official record
+must never be an empty timeout (round-2 lesson: BENCH_r02 rc=124/parsed null).
 """
 from __future__ import annotations
 
 import json
 import os
+import signal
+import sys
 import time
 
 import jax
@@ -28,6 +36,34 @@ import jax.numpy as jnp
 from mm_masking_tpu.utils.cache import enable_compile_cache
 
 enable_compile_cache()
+
+# Mutable result skeleton: phases fill it in as they complete so the budget
+# guard can always emit a parseable (if partial) record.
+RESULT = {
+    "metric": "scan_pairs_per_sec_per_chip",
+    "value": 0.0,
+    "unit": "scan-pairs/s",
+    "vs_baseline": 0.0,
+    "detail": {"status": "incomplete"},
+}
+_EMITTED = False
+
+
+def emit():
+    global _EMITTED
+    if not _EMITTED:
+        _EMITTED = True
+        print(json.dumps(RESULT), flush=True)
+
+
+def _on_budget(signum, frame):  # pragma: no cover - timing dependent
+    RESULT["detail"]["status"] = "budget_exceeded_partial"
+    emit()
+    os._exit(0)
+
+
+signal.signal(signal.SIGALRM, _on_budget)
+signal.alarm(int(os.environ.get("BENCH_BUDGET_S", "1320")))
 
 # TPU v5e (v5 lite) peak: 197 TFLOP/s bf16. The geometry/ICP path runs f32
 # (precision=highest), so bf16-peak-relative MFU is a conservative bound.
@@ -120,14 +156,30 @@ def main():
     def eval_step(state, batch):
         return trainer._eval_step(state, batch, binary=False)
 
-    t_train = time_fn(lambda: train_step(state, train_batch), iters=6)
-    t_eval = time_fn(lambda: eval_step(state, eval_batch), iters=6)
+    detail = RESULT["detail"]
+    detail["device"] = str(jax.devices()[0])
+    detail["shapes"] = {
+        "cart": 640, "polar": [400, 3360],
+        "n_scan": n_scan, "n_map": n_map,
+        "batch_train": batch_train, "batch_eval": batch_eval,
+    }
 
+    t_train = time_fn(lambda: train_step(state, train_batch), iters=6)
     train_sps = batch_train / t_train
+    detail["train_scan_pairs_per_sec"] = round(train_sps, 3)
+    detail["train_step_ms"] = round(t_train * 1e3, 2)
+    print(f"[bench] train step {t_train*1e3:.1f} ms", file=sys.stderr, flush=True)
+
+    t_eval = time_fn(lambda: eval_step(state, eval_batch), iters=6)
     eval_sps = batch_eval / t_eval
+    detail["eval_scan_pairs_per_sec"] = round(eval_sps, 3)
+    detail["eval_step_ms"] = round(t_eval * 1e3, 2)
+    print(f"[bench] eval step {t_eval*1e3:.1f} ms", file=sys.stderr, flush=True)
+
     # Combined metric: harmonic-style aggregate over the two phases (one train
     # scan-pair + one eval scan-pair processed back to back).
     combined = 2.0 / (1.0 / train_sps + 1.0 / eval_sps)
+    RESULT["value"] = round(combined, 3)
 
     # Analytic MFU: fwd+bwd ≈ 3× fwd for the UNet; unrolled-ICP backward ≈ 2×
     # its forward. Eval runs the while-loop solver — tolerance-terminated, so
@@ -140,8 +192,33 @@ def main():
     eval_flops = (
         unet_f * batch_eval + 50 * icp_iter_flops(batch_eval, n_scan, n_map)
     )
-    mfu_train = train_flops / t_train / PEAK_BF16
-    mfu_eval = eval_flops / t_eval / PEAK_BF16
+    detail["mfu_train"] = round(train_flops / t_train / PEAK_BF16, 4)
+    detail["mfu_eval"] = round(eval_flops / t_eval / PEAK_BF16, 4)
+    # Honest normalization: this chip's demonstrated dense-op ceiling is
+    # ~3 TF/s-eff (docs/BENCH_DETAIL.md probe sweep), far under nominal bf16
+    # peak, so pairs/s per demonstrated-TF/s is the comparable figure.
+    CEIL_TFS = 3.0
+    detail["pairs_per_sec_per_demonstrated_tfs"] = round(combined / CEIL_TFS, 3)
+    detail["comparison_note"] = (
+        "vs_baseline divides by a 1-core torch-CPU stand-in measured on this "
+        "host at identical shapes (bench_baseline.json, provenance inside) — "
+        "the reference repo publishes no numbers and its GPU cannot run here; "
+        "treat vs_baseline as a lower-bound sanity anchor, not a GPU claim."
+    )
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    if os.path.exists(baseline_path):
+        ref = json.load(open(baseline_path))
+        ref_combined = ref.get("combined_scan_pairs_per_sec")
+        if ref_combined:
+            RESULT["vs_baseline"] = round(combined / ref_combined, 3)
+
+    detail["status"] = "ok"
+    if not os.environ.get("BENCH_FULL"):
+        # Headline path for the driver: print now, exit clean. Everything
+        # below costs extra compiles and runs only on manual BENCH_FULL runs.
+        emit()
+        return
 
     # Production operating point: the headline above keeps the reference's
     # batch sizes (16/32) for round-to-round comparability, but this chip's
@@ -169,39 +246,16 @@ def main():
     )
     prod_train_sps = 128 / t_train_p
     prod_eval_sps = 64 / t_eval_p
-
-    baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
-    vs_baseline = 0.0
-    if os.path.exists(baseline_path):
-        ref = json.load(open(baseline_path))
-        ref_combined = ref.get("combined_scan_pairs_per_sec")
-        if ref_combined:
-            vs_baseline = combined / ref_combined
-
-    detail = {
-        "train_scan_pairs_per_sec": round(train_sps, 3),
-        "eval_scan_pairs_per_sec": round(eval_sps, 3),
-        "train_step_ms": round(t_train * 1e3, 2),
-        "eval_step_ms": round(t_eval * 1e3, 2),
-        "production_point": {
-            "train_b128_remat_pairs_per_sec": round(prod_train_sps, 2),
-            "eval_b64_pairs_per_sec": round(prod_eval_sps, 2),
-            "combined_pairs_per_sec": round(
-                2.0 / (1.0 / prod_train_sps + 1.0 / prod_eval_sps), 2),
-            "note": "same model, throughput-optimal batches; headline keeps "
-                    "the reference's 16/32",
-        },
-        "mfu_train": round(mfu_train, 4),
-        "mfu_eval": round(mfu_eval, 4),
-        "device": str(jax.devices()[0]),
-        "shapes": {
-            "cart": 640, "polar": [400, 3360],
-            "n_scan": n_scan, "n_map": n_map,
-            "batch_train": batch_train, "batch_eval": batch_eval,
-        },
+    detail["production_point"] = {
+        "train_b128_remat_pairs_per_sec": round(prod_train_sps, 2),
+        "eval_b64_pairs_per_sec": round(prod_eval_sps, 2),
+        "combined_pairs_per_sec": round(
+            2.0 / (1.0 / prod_train_sps + 1.0 / prod_eval_sps), 2),
+        "note": "same model, throughput-optimal batches; headline keeps "
+                "the reference's 16/32",
     }
 
-    if os.environ.get("BENCH_FULL"):
+    if True:  # BENCH_FULL continues: the five BASELINE.json configs.
         from mm_masking_tpu.evaluation import baselines as bl
 
         detail["configs"] = {}
@@ -263,14 +317,7 @@ def main():
             "ms_per_64_frames": round(t * 1e3, 2),
             "frames_per_sec": round(64 / t, 2)}
 
-    result = {
-        "metric": "scan_pairs_per_sec_per_chip",
-        "value": round(combined, 3),
-        "unit": "scan-pairs/s",
-        "vs_baseline": round(vs_baseline, 3),
-        "detail": detail,
-    }
-    print(json.dumps(result))
+    emit()
 
 
 if __name__ == "__main__":

@@ -90,11 +90,26 @@ def main():
     T0 = eb["transforms"]["T_ml_init"]
     w = jnp.ones(scan.shape[:2], jnp.float32)
 
-    for label, stripe in (("dense", False), ("stripe", True)):
+    for label, stripe, refresh in (
+        ("dense", False, 0.0),
+        ("stripe", True, 0.0),
+        ("stripe+refresh.05", True, 0.05),
+        ("dense+refresh.05", False, 0.05),
+    ):
         c50 = ICPConfig(icp_type="pt2pt", max_iterations=50,
-                        differentiable=False, nn_stripe=stripe)
+                        differentiable=False, nn_stripe=stripe,
+                        nn_refresh_dist=refresh)
         f50 = jax.jit(lambda s, m, t, w, c=c50: icp(s, m, t, weight=w, cfg=c)["T"])
         print(f"{'icp 50-iter b32 ' + label:34s} {timeit(f50, scan, mapp, T0, w):8.1f} ms")
+
+    # How many iterations does the while-loop actually run, and how many
+    # associations does the gated solver skip? (iterations is part of the
+    # solver output; associations inferred from the delta trajectory.)
+    c_iters = ICPConfig(icp_type="pt2pt", max_iterations=50,
+                        differentiable=False, nn_stripe=True)
+    out = jax.jit(lambda s, m, t, w: icp(s, m, t, weight=w, cfg=c_iters))(
+        scan, mapp, T0, w)
+    print(f"{'while-loop iterations executed':34s} {int(out['iterations']):8d}")
 
     scan_t = tb["loc_data"]["filtered_pc"]
     mapp_t = tb["map_data"]["pc"]

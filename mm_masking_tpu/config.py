@@ -24,6 +24,17 @@ class LossWeights:
     mask_pts: float = 1.0
     cfar: float = 0.0
     num_pts: float = 0.0
+    # Hinge threshold for the num_pts term, as a fraction of the real point
+    # count. 0 = the reference's always-on linear penalty
+    # (`train_icp_weights.py:230-231`). > 0 = the penalty only activates when
+    # the differentiable point count drops below `num_pts_floor ·
+    # mean_all_pts` — an anti-collapse floor that is exactly zero (no
+    # gradient, no accuracy cost) at a healthy operating point. Rationale:
+    # the pure-ICP loss is scale-invariant in the weights (GN normal
+    # equations scale out), so nothing opposes uniform mask shrinkage until
+    # the solve goes singular; the hinge restores a finite opposing gradient
+    # BEFORE that regime (see docs/STATUS.md round-3 collapse diagnosis).
+    num_pts_floor: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +59,13 @@ class ModelConfig:
     b_thresh: float = 0.09
     max_iter: int = 10  # differentiable ICP iterations (training)
     inference_max_iter: int = 50
+    # Motion-gated NN refresh for the 50-iter inference solver (m). The
+    # association is recomputed whenever the pose has moved more than this
+    # since the last search (rotation at an 80 m lever arm), so
+    # tolerance-limited late iterations skip the O(N·M) search entirely.
+    # 0 = search every iteration (reference semantics); pose deviation vs
+    # always-search is bounded by tests at ≤1 mm on converging scenes.
+    nn_refresh_dist: float = 0.05
     # 'unroll' backprops through every GN iteration (reference fidelity);
     # 'implicit' runs the fast while-loop solver and applies the implicit
     # function theorem at convergence (O(1)-memory backward, approximate

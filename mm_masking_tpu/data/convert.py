@@ -42,6 +42,45 @@ _PC2_DTYPES = {
 }
 
 
+class UnknownSchemaError(RuntimeError):
+    """A recorded `topics.type` string does not match any schema this reader
+    knows how to decode. Raised *instead of* guessing: the CDR layouts here are
+    documented reconstructions (the vtr3 msg definitions live in unmounted
+    submodules), so an unexpected type string means the bytes would be
+    silently mis-parsed into garbage. The reference resolves types dynamically
+    via rclpy (`/root/reference/mm_masking/utils/extract_pointcloud.py:16-36`
+    — `get_message(type_of)`); without ROS2 the honest equivalent is an
+    explicit registry + a loud refusal."""
+
+
+def _type_tail(type_str: str | None) -> str:
+    """Final path segment of a ROS type string ('pkg/msg/Name' → 'Name')."""
+    return (type_str or "").rsplit("/", 1)[-1]
+
+
+# Known type-name tails per schema. Empty string = bags recorded without type
+# metadata (this repo's early synthetic bags) — decoded with the documented
+# default layout.
+_VERTEX_TYPES = frozenset({"", "Vertex", "VertexMsg"})
+_EDGE_TYPES = frozenset({"", "Edge", "EdgeMsg"})
+_PTR_TYPES = frozenset({"", "PtrMsg", "PointMapPtr", "PointmapPtr", "MapInfo"})
+_VTR_CLOUD_TYPES = frozenset({"", "PointCloudMsg"})
+_BARE_CLOUD_TYPES = frozenset({"PointCloud2"})
+
+
+def check_schema(kind: str, known: frozenset, type_str: str | None,
+                 topic: str = "?"):
+    tail = _type_tail(type_str)
+    if tail not in known:
+        raise UnknownSchemaError(
+            f"topic '{topic}' records type '{type_str}', which is not a "
+            f"known {kind} schema (known tails: "
+            f"{sorted(t for t in known if t)}). Refusing to decode with a "
+            f"guessed layout — add the type to the registry in "
+            f"mm_masking_tpu/data/convert.py after verifying its CDR layout."
+        )
+
+
 class Rosbag2Reader:
     """Minimal rosbag2 sqlite3 reader (schema from `utils/extract_pointcloud.py`)."""
 
@@ -191,6 +230,42 @@ def parse_vtr_pointcloud_msg(buf: bytes) -> dict:
     return {"points": arr, "stamp": pc["stamp"], "xi": np.asarray(xi)}
 
 
+def parse_pointcloud_any(buf: bytes, type_str: str | None = None,
+                         topic: str = "?") -> dict:
+    """Type-dispatched point-cloud decode.
+
+    * VTR wrapper types (``…/PointCloudMsg``, or untyped legacy bags) — the
+      full :func:`parse_vtr_pointcloud_msg` layout with the trailing
+      ``t_vertex_this`` twist.
+    * bare ``sensor_msgs/msg/PointCloud2`` — the standard message with no VTR
+      wrapper; ``xi`` is identity and missing normal fields decode as zeros
+      (the `/vtr/filtered_point_cloud` topics of plain exports,
+      `utils/extract_pointcloud.py:46-47`, are recorded this way).
+    * anything else → :class:`UnknownSchemaError`.
+    """
+    tail = _type_tail(type_str)
+    if tail in _BARE_CLOUD_TYPES:
+        r = CdrReader(buf)
+        pc = parse_pointcloud2(r)
+        pts = pc["points"]
+        cols = ["x", "y", "z", "normal_x", "normal_y", "normal_z"]
+        have = pts.dtype.names or ()
+        n = pts.shape[0]
+        arr = np.stack(
+            [
+                np.asarray(pts[c], dtype=np.float32)
+                if c in have
+                else np.zeros(n, np.float32)
+                for c in cols
+            ],
+            axis=-1,
+        )
+        return {"points": arr, "stamp": pc["stamp"], "xi": np.zeros(6)}
+    check_schema("point-cloud", _VTR_CLOUD_TYPES | _BARE_CLOUD_TYPES,
+                 type_str, topic)
+    return parse_vtr_pointcloud_msg(buf)
+
+
 def parse_localization_result(buf: bytes) -> dict:
     """VTR `LocalizationResult` message (the v1 GT-extraction path's input,
     `/root/reference/mm_masking/utils/extract_odo_gt.py:100-116`).
@@ -317,19 +392,28 @@ def convert_graph(
                 continue
             try:
                 teach_v = graph.closest_teach_vertex(loc_v)
-                map_vid = parse_pointmap_ptr_msg(
-                    graph.get_data(teach_v, "pointmap_ptr")
+                ptr_blob, ptr_type = graph.get_data_typed(
+                    teach_v, "pointmap_ptr"
                 )
+                check_schema("pointmap_ptr", _PTR_TYPES, ptr_type,
+                             "pointmap_ptr")
+                map_vid = parse_pointmap_ptr_msg(ptr_blob)
                 map_v = graph.get_vertex(map_vid)
-                map_msg = parse_vtr_pointcloud_msg(
-                    graph.get_data(map_v, "pointmap")
+                map_msg = parse_pointcloud_any(
+                    *graph.get_data_typed(map_v, "pointmap"), topic="pointmap"
                 )
-                filt = parse_vtr_pointcloud_msg(
-                    graph.get_data(loc_v, msg_prefix + "filtered_point_cloud")
+                filt = parse_pointcloud_any(
+                    *graph.get_data_typed(
+                        loc_v, msg_prefix + "filtered_point_cloud"
+                    ),
+                    topic=msg_prefix + "filtered_point_cloud",
                 )
                 try:
-                    raw = parse_vtr_pointcloud_msg(
-                        graph.get_data(loc_v, msg_prefix + "raw_point_cloud")
+                    raw = parse_pointcloud_any(
+                        *graph.get_data_typed(
+                            loc_v, msg_prefix + "raw_point_cloud"
+                        ),
+                        topic=msg_prefix + "raw_point_cloud",
                     )
                 except GraphError:
                     raw = filt
@@ -383,6 +467,9 @@ def _convert_flat(graph_dir: str, out_dir: str, msg_prefix: str, limit: int,
         raws = list(reader.messages(raw_t)) if raw_t else []
         filts = list(reader.messages(filt_t))
         maps = list(reader.messages(map_t)) if map_t else []
+        types = {
+            t: reader.topic_type.get(t, "") for t in (raw_t, filt_t, map_t) if t
+        }
         reader.close()
         if raws and len(raws) != len(filts):
             print(
@@ -391,13 +478,19 @@ def _convert_flat(graph_dir: str, out_dir: str, msg_prefix: str, limit: int,
             )
             raws = []
 
-        map_msg = parse_vtr_pointcloud_msg(maps[0][1]) if maps else None
+        map_msg = (
+            parse_pointcloud_any(maps[0][1], types[map_t], topic=map_t)
+            if maps else None
+        )
         map_part = _transformed_map_shard(map_msg) if map_msg else {}
         for k, (ts, blob) in enumerate(filts):
             if limit > 0 and n_frames >= limit:
                 break
-            filt = parse_vtr_pointcloud_msg(blob)
-            raw = parse_vtr_pointcloud_msg(raws[k][1]) if raws else filt
+            filt = parse_pointcloud_any(blob, types[filt_t], topic=filt_t)
+            raw = (
+                parse_pointcloud_any(raws[k][1], types[raw_t], topic=raw_t)
+                if raws else filt
+            )
             shard = {
                 "raw_pc": raw["points"][:, :3],
                 "filt_pc": filt["points"][:, :3],

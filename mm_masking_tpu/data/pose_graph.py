@@ -41,7 +41,13 @@ from typing import Iterator
 
 import numpy as np
 
-from mm_masking_tpu.data.convert import CdrReader, Rosbag2Reader
+from mm_masking_tpu.data.convert import (
+    CdrReader,
+    Rosbag2Reader,
+    _EDGE_TYPES,
+    _VERTEX_TYPES,
+    check_schema,
+)
 
 INVALID_ID = 2**64 - 1
 TEMPORAL = 0
@@ -134,6 +140,8 @@ class PoseGraph:
         self.edges: list[Edge] = []
         # stream name (suffix after the topic prefix) -> {vertex stamp: blob}
         self.data: dict[str, dict[int, bytes]] = {}
+        # stream name -> recorded `topics.type` string (schema dispatch)
+        self.data_type: dict[str, str] = {}
         self.skipped_files: list[str] = []
 
     # ------------------------------------------------------------------ load
@@ -164,20 +172,39 @@ class PoseGraph:
         reader = Rosbag2Reader(db)
         try:
             for topic in reader.topics():
+                ttype = reader.topic_type.get(topic, "")
                 if topic.endswith(("vertexes", "vertices")):
+                    # Validate the recorded schema BEFORE decoding: an
+                    # unexpected type string means the documented-guess CDR
+                    # layout would silently mis-parse (UnknownSchemaError is
+                    # not swallowed by from_dir's corrupt-file skip).
+                    check_schema("vertex", _VERTEX_TYPES, ttype, topic)
                     for _, blob in reader.messages(topic):
                         v = parse_vertex_msg(blob)
                         self.vertices[v.id] = v
                 elif topic.endswith("edges"):
+                    check_schema("edge", _EDGE_TYPES, ttype, topic)
                     for _, blob in reader.messages(topic):
-                        self.edges.append(parse_edge_msg(blob))
+                        self._append_edge(parse_edge_msg(blob))
                 else:
                     stream = topic.rsplit("/", 1)[-1]
                     dst = self.data.setdefault(stream, {})
+                    self.data_type.setdefault(stream, ttype)
                     for ts, blob in reader.messages(topic):
                         dst[ts] = blob
         finally:
             reader.close()
+
+    def _append_edge(self, e: Edge):
+        self.edges.append(e)
+
+    def add_edge(self, e: Edge):
+        """Insert an edge and invalidate the adjacency caches (they are built
+        lazily on first traversal; mutating ``edges`` directly after that
+        would silently be ignored)."""
+        self.edges.append(e)
+        self._temporal_adj_cache = None
+        self._spatial_adj_cache = None
 
     # ----------------------------------------------------------------- graph
     @property
@@ -208,35 +235,47 @@ class PoseGraph:
                 return msgs[v.stamp]
         raise GraphError(f"vertex {vid_unpack(v.id)} has no '{stream}' data")
 
+    def get_data_typed(self, v: Vertex, stream: str) -> tuple[bytes, str]:
+        """Like :meth:`get_data` but also returns the stream's recorded
+        `topics.type` string for schema dispatch."""
+        for name, msgs in self.data.items():
+            if name.endswith(stream) and v.stamp in msgs:
+                return msgs[v.stamp], self.data_type.get(name, "")
+        raise GraphError(f"vertex {vid_unpack(v.id)} has no '{stream}' data")
+
     # ------------------------------------------------------------- iteration
     # Adjacency indices are built once on first use (convert_graph walks call
     # these per localization vertex — rebuilding per call makes the whole
     # conversion O(frames × edges)).
+    # Caches are keyed on len(self.edges): `edges` is a public list callers
+    # (and tests) append to directly, so a stale cache would silently ignore
+    # edges added after the first traversal.
     @property
     def _temporal_adjacency(self):
         cached = getattr(self, "_temporal_adj_cache", None)
-        if cached is None:
+        if cached is None or cached[0] != len(self.edges):
             incoming: dict[int, Edge] = {}
             outgoing: dict[int, Edge] = {}
             for e in self.edges:
                 if e.type == TEMPORAL:
                     incoming[e.to_id] = e
                     outgoing[e.from_id] = e
-            cached = (incoming, outgoing)
+            cached = (len(self.edges), (incoming, outgoing))
             self._temporal_adj_cache = cached
-        return cached
+        return cached[1]
 
     @property
     def _spatial_adjacency(self) -> dict[int, list[int]]:
         cached = getattr(self, "_spatial_adj_cache", None)
-        if cached is None:
-            cached = {}
+        if cached is None or cached[0] != len(self.edges):
+            adj: dict[int, list[int]] = {}
             for e in self.edges:
                 if e.type == SPATIAL:
-                    cached.setdefault(e.from_id, []).append(e.to_id)
-                    cached.setdefault(e.to_id, []).append(e.from_id)
+                    adj.setdefault(e.from_id, []).append(e.to_id)
+                    adj.setdefault(e.to_id, []).append(e.from_id)
+            cached = (len(self.edges), adj)
             self._spatial_adj_cache = cached
-        return cached
+        return cached[1]
 
     def temporal_iterator(self, v_start: Vertex) -> Iterator[tuple[Vertex, Edge]]:
         """Walk the temporal chain from ``v_start``, yielding ``(vertex,

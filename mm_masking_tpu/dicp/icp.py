@@ -75,6 +75,19 @@ class ICPConfig:
     # keeps constraining unobservable directions (e.g. along-corridor
     # translation against a single wall) throughout the solve.
     prior_weight: float = 0.0
+    # Motion-gated association refresh for the while-loop (inference) solver.
+    # 0 = re-associate every iteration (reference semantics). > 0 = skip the
+    # NN search while the accumulated pose motion since the last association
+    # stays under this many meters (rotation counted at worst-case lever arm
+    # `nn_refresh_range`); the cached indices are reused and only the cheap
+    # GN update runs. Late tolerance-limited iterations (deltas at the f32
+    # noise floor, far below any motion that could change a nearest
+    # neighbor) then cost ~nothing. Exactness: whenever the pose has moved
+    # ≤ threshold since association, every point has moved ≤ threshold, so
+    # with a threshold well under the map's point spacing the reused indices
+    # are the true NN; the solver re-associates the moment motion exceeds it.
+    nn_refresh_dist: float = 0.0
+    nn_refresh_range: float = 80.0  # worst-case point radius for rotation
 
 
 def robust_weight(r_norm: jax.Array, name: str, k: float) -> jax.Array:
@@ -120,8 +133,13 @@ def _gn_step(
     cfg: ICPConfig,
     T_prior: jax.Array | None = None,
     assoc_fn=None,
+    idx: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """One Gauss-Newton iteration. Returns (T_new, delta (B, 6))."""
+    """One Gauss-Newton iteration. Returns (T_new, delta (B, 6)).
+
+    ``idx``: optional precomputed association (B, N) — the motion-gated
+    while-loop solver passes cached indices here to skip the NN search.
+    """
     B, N, _ = source.shape
 
     # 1. transform source into current estimate frame
@@ -131,11 +149,13 @@ def _gn_step(
     )
 
     # 2. associate (discrete; no gradient through the index)
-    if assoc_fn is None:
-        assoc_fn = lambda pp: nn_argmin(  # noqa: E731
-            pp, jax.lax.stop_gradient(target_pts), use_pallas=cfg.use_pallas_nn
-        )
-    idx, _ = assoc_fn(jax.lax.stop_gradient(p))
+    if idx is None:
+        if assoc_fn is None:
+            assoc_fn = lambda pp: nn_argmin(  # noqa: E731
+                pp, jax.lax.stop_gradient(target_pts),
+                use_pallas=cfg.use_pallas_nn,
+            )
+        idx, _ = assoc_fn(jax.lax.stop_gradient(p))
     q = jnp.take_along_axis(target_pts, idx[..., None], axis=1)  # (B, N, 3)
 
     # 3. residuals
@@ -326,8 +346,12 @@ def icp(
         # where the solve itself diverges (permuted rows → different
         # reduction order, amplified by a chaotic trajectory) — both outputs
         # are equally valid solver results there.
+        # The sorted target keeps the raw target's VALUE gradient (only the
+        # sort keys/permutation are stop-gradient inside stripe_sort_target),
+        # so ∂/∂target flows through the residual q-gather exactly as in the
+        # dense path.
         target, key_sorted, use_x = stripe_sort_target(
-            jax.lax.stop_gradient(target), pad_val=cfg.target_pad_val
+            target, pad_val=cfg.target_pad_val
         )
         p0 = jax.lax.stop_gradient(
             jnp.einsum("bij,bnj->bni", T_init[:, :3, :3], source,
@@ -385,18 +409,71 @@ def icp(
         )
         return {"T": T_final, "delta_norms": delta_hist}
 
-    def cond(state):
-        T, it, dn = state
-        return jnp.logical_and(it < cfg.max_iterations, jnp.max(dn) >= cfg.tolerance)
+    B, N = source.shape[0], source.shape[1]
 
-    def wbody(state):
-        T, it, _ = state
-        T_new, delta = step(T)
-        return (T_new, it + 1, jnp.linalg.norm(delta, axis=-1))
+    if cfg.nn_refresh_dist <= 0.0:
+        # Reference semantics: associate every iteration.
+        def cond(state):
+            T, it, dn = state
+            return jnp.logical_and(
+                it < cfg.max_iterations, jnp.max(dn) >= cfg.tolerance
+            )
 
-    B = T_init.shape[0]
-    init = (T_init, jnp.int32(0), jnp.full((B,), jnp.inf, T_init.dtype))
-    T_final, n_iter, dn = jax.lax.while_loop(cond, wbody, init)
+        def wbody(state):
+            T, it, _ = state
+            T_new, delta = step(T)
+            return (T_new, it + 1, jnp.linalg.norm(delta, axis=-1))
+
+        init = (T_init, jnp.int32(0), jnp.full((B,), jnp.inf, T_init.dtype))
+        T_final, n_iter, dn = jax.lax.while_loop(cond, wbody, init)
+        return {"T": T_final, "iterations": n_iter, "delta_norm": dn}
+
+    # Motion-gated association refresh: once the pose stops moving more than
+    # nn_refresh_dist (worst-case over every point, rotation at lever arm
+    # nn_refresh_range), the NN indices cannot change — skip the O(N·M)
+    # search and rerun only the GN update on the cached indices. Tolerance-
+    # limited late iterations (deltas at the f32 noise floor) then cost the
+    # solve, not the search.
+    default_assoc = assoc_fn or (
+        lambda pp: nn_argmin(
+            pp, jax.lax.stop_gradient(target_pts), use_pallas=cfg.use_pallas_nn
+        )
+    )
+
+    def eff_motion(delta):
+        trans = jnp.linalg.norm(delta[:, :3], axis=-1)
+        rot = jnp.linalg.norm(delta[:, 3:], axis=-1)
+        return jnp.max(trans + cfg.nn_refresh_range * rot)
+
+    def cond2(state):
+        T, it, dn, idx, moved = state
+        return jnp.logical_and(
+            it < cfg.max_iterations, jnp.max(dn) >= cfg.tolerance
+        )
+
+    def wbody2(state):
+        T, it, _, idx0, moved = state
+        p = jax.lax.stop_gradient(
+            jnp.einsum("bij,bnj->bni", T[:, :3, :3], source,
+                       precision="highest")
+            + T[:, None, :3, 3]
+        )
+        need = jnp.logical_or(it == 0, moved >= cfg.nn_refresh_dist)
+        idx = jax.lax.cond(
+            need, lambda _: default_assoc(p)[0], lambda _: idx0, None
+        )
+        T_new, delta = step(T, idx=idx)
+        moved_new = jnp.where(need, 0.0, moved) + eff_motion(delta)
+        return (T_new, it + 1, jnp.linalg.norm(delta, axis=-1), idx, moved_new)
+
+    init2 = (
+        T_init,
+        jnp.int32(0),
+        jnp.full((B,), jnp.inf, T_init.dtype),
+        jnp.zeros((B, N), jnp.int32),
+        jnp.asarray(jnp.inf, T_init.dtype),
+    )
+    T_final, n_iter, dn, _, _ = jax.lax.while_loop(cond2, wbody2, init2)
     return {"T": T_final, "iterations": n_iter, "delta_norm": dn}
 
 

@@ -1,0 +1,284 @@
+"""Composed data-gen / evaluation driver CLI.
+
+The rebuild's equivalent of the reference's shell drivers
+(`/root/reference/gen_data/run_test.sh:7-24` — `run_test.sh MODE SENSOR SEQ`,
+and `run_eval.sh:18`): one entry point that runs teach (odometry + map
+building) or localization over a directory of scans and produces a trajectory
+file plus GT error statistics. The pieces it composes are the library
+surfaces (`TeachPass`, `localize_sequence_to_traj`,
+`evaluation.gt_tools.eval_localization_run`).
+
+Usage:
+  # Teach pass: build a map from a scan directory.
+  python -m mm_masking_tpu.localization teach \
+      --scans <dir> --out-map map.npz [--out-traj odo_traj.txt]
+
+  # Repeat pass: localize a scan directory against a map, write the
+  # trajectory, and (with GT CSVs) the error stats.
+  python -m mm_masking_tpu.localization localize \
+      --scans <dir> --map map.npz --out-traj traj.txt \
+      [--map-gt <applanix csv> --loc-gt <applanix csv> --stats stats.json]
+
+Scan directories may contain either raw Navtech scans (`<stamp>.png` /
+`<stamp>.npy`, decoded with `ops.load_radar`) or converter shards
+(`frame_<stamp>.npz` with `filt_pc` clouds, `data/convert.py`); the mode is
+detected from the files present.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+
+import numpy as np
+
+
+def _scan_files(scan_dir: str) -> tuple[str, list[str]]:
+    """Detect directory kind → ('radar'|'shards', sorted file list)."""
+    files = sorted(os.listdir(scan_dir))
+    shards = [f for f in files if f.startswith("frame_") and f.endswith(".npz")]
+    if shards:
+        return "shards", [osp.join(scan_dir, f) for f in shards]
+    scans = [f for f in files if f.endswith((".png", ".npy"))]
+    if not scans:
+        raise SystemExit(
+            f"{scan_dir}: no radar scans (*.png/*.npy) or converter shards "
+            f"(frame_*.npz) found"
+        )
+    return "radar", [osp.join(scan_dir, f) for f in scans]
+
+
+def _stamp_of(path: str) -> int:
+    stem = osp.splitext(osp.basename(path))[0]
+    return int(stem.removeprefix("frame_"))
+
+
+def _load_radar_frames(paths: list[str]):
+    """Decode raw Navtech scans → stacked {'fft','azimuths','az_times'}."""
+    from mm_masking_tpu.data.dataset import _decode_radar_file
+
+    ffts, azs, azts = [], [], []
+    for p in paths:
+        fft, az, azt = _decode_radar_file(p)
+        ffts.append(fft)
+        azs.append(az)
+        azts.append(azt)
+    return {
+        "fft": np.stack(ffts),
+        "azimuths": np.stack(azs),
+        "az_times": np.stack(azts),
+    }
+
+
+def _load_shard_clouds(paths: list[str], max_pts: int) -> np.ndarray:
+    """(F, max_pts, 3) zero-padded clouds from converter shards."""
+    out = np.zeros((len(paths), max_pts, 3), np.float32)
+    for i, p in enumerate(paths):
+        pc = np.load(p)["filt_pc"][:max_pts]
+        out[i, : pc.shape[0]] = pc[:, :3]
+    return out
+
+
+def _extract_clouds(frames: dict, cfg, batch_size: int) -> np.ndarray:
+    """Detector + peak extraction over stacked radar frames → (F, N, 3)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from mm_masking_tpu.ops import extract_pc
+    from mm_masking_tpu.ops.detectors import detect
+
+    @functools.partial(jax.jit, static_argnames=())
+    def one(fft, az, azt):
+        mask = detect(cfg.detector, fft, cfg.radar_resolution,
+                      **dict(cfg.detector_kwargs))
+        return extract_pc(mask, cfg.radar_resolution, az, azt,
+                          max_points=cfg.max_points, diff=False)
+
+    F = frames["fft"].shape[0]
+    outs = []
+    for s in range(0, F, batch_size):
+        outs.append(one(jnp.asarray(frames["fft"][s:s + batch_size]),
+                        jnp.asarray(frames["azimuths"][s:s + batch_size]),
+                        jnp.asarray(frames["az_times"][s:s + batch_size])))
+    return np.concatenate([np.asarray(o) for o in outs])[:F]
+
+
+def cmd_teach(args) -> int:
+    from mm_masking_tpu.evaluation.gt_tools import write_traj_file
+    from mm_masking_tpu.localization import LocalizationConfig
+    from mm_masking_tpu.localization.odometry import OdometryConfig, TeachPass
+
+    kind, paths = _scan_files(args.scans)
+    if args.limit > 0:
+        paths = paths[: args.limit]
+    stamps = [_stamp_of(p) for p in paths]
+    loc_cfg = LocalizationConfig(detector=args.detector,
+                                 max_points=args.max_points)
+    if kind == "radar":
+        clouds = _extract_clouds(_load_radar_frames(paths), loc_cfg,
+                                 args.batch_size)
+    else:
+        clouds = _load_shard_clouds(paths, args.max_points)
+
+    teach = TeachPass(OdometryConfig(max_map_pts=args.max_map_pts))
+    for i in range(clouds.shape[0]):
+        teach.process(clouds[i], stamp_us=stamps[i])
+    map_pc = np.asarray(teach.map_with_normals()[0])
+
+    np.savez_compressed(args.out_map, map_pc=map_pc)
+    print(f"teach: {clouds.shape[0]} frames, {teach.n_keyframes} keyframes "
+          f"→ {args.out_map}")
+    if args.out_traj:
+        write_traj_file(args.out_traj, teach.trajectory, stamps)
+        print(f"teach: odometry trajectory → {args.out_traj}")
+    return 0
+
+
+def _load_map(path: str) -> np.ndarray:
+    if path.endswith(".npz"):
+        z = np.load(path)
+        key = "map_pc" if "map_pc" in z else list(z.keys())[0]
+        return z[key]
+    from mm_masking_tpu.data.boreas import load_pc_from_file
+
+    return load_pc_from_file(path)
+
+
+def cmd_localize(args) -> int:
+    import jax.numpy as jnp
+
+    from mm_masking_tpu.evaluation.gt_tools import (
+        eval_localization_run,
+        write_traj_file,
+    )
+    from mm_masking_tpu.geom import se3_inv
+    from mm_masking_tpu.localization import (
+        LocalizationConfig,
+        localize_sequence_to_traj,
+    )
+
+    kind, paths = _scan_files(args.scans)
+    if args.limit > 0:
+        paths = paths[: args.limit]
+    stamps = [_stamp_of(p) for p in paths]
+    map_pc = _load_map(args.map)
+    if args.icp_type == "pt2pl" and map_pc.shape[-1] < 6:
+        raise SystemExit(
+            f"map {args.map} has no normals (shape {map_pc.shape}); "
+            f"pt2pl localization needs (M, 6) — build it with `teach` or the "
+            f"converter, or pass --icp-type pt2pt"
+        )
+    cfg = LocalizationConfig(detector=args.detector,
+                             max_points=args.max_points,
+                             icp_type=args.icp_type,
+                             normal_threshold=args.normal_threshold)
+
+    if kind == "radar":
+        frames = _load_radar_frames(paths)
+        out = localize_sequence_to_traj(
+            frames, jnp.asarray(map_pc), stamps, args.out_traj, cfg=cfg,
+            batch_size=args.batch_size,
+        )
+        n_ok = int(np.sum(np.asarray(out["ok"])))
+    else:
+        # Shard clouds: skip the detector, register clouds directly.
+        from mm_masking_tpu.dicp import ICPConfig, icp
+        from mm_masking_tpu.localization.pipeline import project_map
+
+        clouds = _load_shard_clouds(paths, args.max_points)
+        F = clouds.shape[0]
+        icp_cfg = ICPConfig(icp_type=args.icp_type, max_iterations=50,
+                            differentiable=False)
+        Ts = []
+        bs = args.batch_size
+        if map_pc.shape[-1] < 6:  # pt2pt map without normals
+            map_pc = np.concatenate(
+                [map_pc, np.zeros_like(map_pc)], axis=-1
+            )
+        map_b = jnp.broadcast_to(jnp.asarray(map_pc)[None], (bs,) + map_pc.shape)
+        map_b = project_map(map_b, cfg)
+        for s in range(0, F, bs):
+            chunk = clouds[s:s + bs]
+            n = chunk.shape[0]
+            if n < bs:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], bs - n, axis=0)]
+                )
+            T = icp(jnp.asarray(chunk), map_b,
+                    jnp.broadcast_to(jnp.eye(4), (bs, 4, 4)),
+                    cfg=icp_cfg)["T"]
+            Ts.append(np.asarray(T)[:n])
+        T_map_loc = np.concatenate(Ts)
+        write_traj_file(args.out_traj, list(np.asarray(se3_inv(T_map_loc))),
+                        stamps)
+        n_ok = F
+    print(f"localize: {len(stamps)} frames ({n_ok} matched-ratio ok) "
+          f"→ {args.out_traj}")
+
+    if args.map_gt and args.loc_gt:
+        stats = eval_localization_run(
+            args.out_traj, args.map_gt, args.loc_gt,
+            out_gt_path=args.out_gt or None,
+        )
+        line = json.dumps(stats, indent=2)
+        if args.stats:
+            with open(args.stats, "w") as f:
+                f.write(line + "\n")
+            print(f"localize: stats → {args.stats}")
+        print(line)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m mm_masking_tpu.localization",
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--scans", required=True,
+                        help="directory of radar scans or converter shards")
+    common.add_argument("--detector", default="modified_cacfar")
+    common.add_argument("--max-points", type=int, default=4096)
+    common.add_argument("--batch-size", type=int, default=8)
+    common.add_argument("--limit", type=int, default=-1,
+                        help="only process the first N frames")
+    common.add_argument("--icp-type", default="pt2pl",
+                        choices=("pt2pl", "pt2pt"))
+    common.add_argument("--normal-threshold", type=float, default=0.5,
+                        help="|z-normal| map-projection gate "
+                             "(radar_lidar_config.yaml:248)")
+
+    t = sub.add_parser("teach", parents=[common],
+                       help="odometry + map building (run_test.sh odometry)")
+    t.add_argument("--out-map", required=True)
+    t.add_argument("--out-traj", default="")
+    t.add_argument("--max-map-pts", type=int, default=16384)
+    t.set_defaults(fn=cmd_teach)
+
+    l = sub.add_parser("localize", parents=[common],
+                       help="localize against a map (run_test.sh localization"
+                            " + run_eval.sh)")
+    l.add_argument("--map", required=True, help="map npz (map_pc (M, 6))")
+    l.add_argument("--out-traj", required=True)
+    l.add_argument("--map-gt", default="",
+                   help="Applanix GT CSV of the map (teach) sequence")
+    l.add_argument("--loc-gt", default="",
+                   help="Applanix GT CSV of the localized sequence")
+    l.add_argument("--out-gt", default="",
+                   help="write the aligned GT trajectory here")
+    l.add_argument("--stats", default="", help="write error stats JSON here")
+    l.set_defaults(fn=cmd_localize)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

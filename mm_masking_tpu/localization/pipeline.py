@@ -50,6 +50,15 @@ class LocalizationConfig:
     cauchy_k: float = 1.0
     tolerance: float = 1e-5
     min_matched_ratio: float = 0.0
+    # Constant-velocity motion-during-scan un-distortion (the cheap 80% of
+    # the reference's continuous-time STEAM odometry prior,
+    # radar_config.yaml:160-188). Needs `velocity` (and optionally
+    # `yaw_rate`) passed to localize_frame.
+    motion_undistort: bool = False
+    az_time_to_sec: float = 1e-9  # az_times unit (load_radar emits ns)
+    # Motion-gated NN refresh in the refined (while-loop) ICP; see
+    # ICPConfig.nn_refresh_dist. 0 = search every iteration.
+    nn_refresh_dist: float = 0.05
 
 
 def project_map(map_pc: jax.Array, cfg: LocalizationConfig) -> jax.Array:
@@ -84,6 +93,7 @@ def localize_frame(
     T_init: jax.Array,
     cfg: LocalizationConfig = LocalizationConfig(),
     velocity: jax.Array | None = None,
+    yaw_rate: jax.Array | None = None,
     weight_mask: jax.Array | None = None,
     mask_cart_resolution: float = 0.2384,
     mask_cart_width: int = 640,
@@ -96,13 +106,24 @@ def localize_frame(
     """
     det_kwargs = dict(cfg.detector_kwargs)
     mask = detect(cfg.detector, fft, cfg.radar_resolution, **det_kwargs)
-    pc = extract_pc(
+    pc, pc_times = extract_pc(
         mask, cfg.radar_resolution, azimuths, az_times,
-        max_points=cfg.max_points, diff=False,
+        max_points=cfg.max_points, diff=False, return_times=True,
     )
     if cfg.beta > 0.0 and velocity is not None:
         ray = jnp.arctan2(pc[..., 1], pc[..., 0])
         pc = doppler_shift(pc, ray, velocity, beta=cfg.beta)
+    if cfg.motion_undistort and velocity is not None:
+        from mm_masking_tpu.ops.detectors import motion_undistort
+
+        wz = (
+            yaw_rate
+            if yaw_rate is not None
+            else jnp.zeros(pc.shape[0], pc.dtype)
+        )
+        pc = motion_undistort(
+            pc, pc_times, velocity, wz, time_to_sec=cfg.az_time_to_sec
+        )
 
     valid = ~((pc[..., 0] == 0.0) & (pc[..., 1] == 0.0))
     if weight_mask is not None:
@@ -131,6 +152,7 @@ def localize_frame(
             differentiable=False, tolerance=cfg.tolerance,
             trim_dist=cfg.refined_max_pairing_dist,
             loss_name=loss["name"], loss_metric=loss["metric"], dim=2,
+            nn_refresh_dist=cfg.nn_refresh_dist,
         ),
     )
     T = refined["T"]

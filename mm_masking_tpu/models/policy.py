@@ -105,6 +105,7 @@ class LearnICPWeightPolicy:
             max_iterations=m.inference_max_iter,
             tolerance=1e-5,
             differentiable=False,
+            nn_refresh_dist=m.nn_refresh_dist,
         )
 
     # -- parameter init ----------------------------------------------------

@@ -28,7 +28,7 @@ from mm_masking_tpu.ops.preprocessing import (
     estimate_normals,
     voxel_downsample,
 )
-from mm_masking_tpu.ops.detectors import detect, DETECTORS, doppler_shift
+from mm_masking_tpu.ops.detectors import detect, DETECTORS, doppler_shift, motion_undistort
 from mm_masking_tpu.ops.descriptors import (
     orb_descriptors,
     basd_descriptors,
@@ -65,4 +65,5 @@ __all__ = [
     "detect",
     "DETECTORS",
     "doppler_shift",
+    "motion_undistort",
 ]

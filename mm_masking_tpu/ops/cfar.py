@@ -119,6 +119,7 @@ def extract_pc(
     T_ab: jax.Array | None = None,
     diff: bool = True,
     steep_fact: float = 10.0,
+    return_times: bool = False,
 ) -> jax.Array:
     """Thresholded polar scan → fixed-size cartesian pointcloud (B, max_points, 3).
 
@@ -174,6 +175,10 @@ def extract_pc(
             jnp.einsum("bij,bnj->bni", T_ab[:, :3, :3], pc)
             + T_ab[:, None, :3, 3]
         )
+    if return_times:
+        # Per-point observation time (mean of the blob's azimuth times, same
+        # averaging as range/angle) — feeds motion-during-scan un-distortion.
+        return pc, avg[..., 2]
     return pc
 
 

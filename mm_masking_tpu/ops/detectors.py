@@ -231,3 +231,51 @@ def doppler_shift(
     scale = (r + dr) / jnp.maximum(r, 1e-9)
     out = points.at[..., :2].multiply(scale[..., None])
     return out
+
+
+def motion_undistort(
+    points: jax.Array,
+    times: jax.Array,
+    velocity: jax.Array,
+    yaw_rate: jax.Array,
+    t_ref: jax.Array | None = None,
+    time_to_sec: float = 1e-9,
+) -> jax.Array:
+    """Constant-velocity motion-during-scan un-distortion (planar, exact).
+
+    A Navtech scan sweeps its azimuths over ~0.25 s; a rotating/translating
+    platform therefore observes each azimuth from a different pose — the
+    reason the reference's odometry runs a continuous-time STEAM trajectory
+    (`/root/reference/gen_data/config/radar_config.yaml:160-188`). This is
+    the constant-velocity 80% of that capability: each extracted point
+    observed at time tᵢ is mapped into the scan-reference-time frame by the
+    exact planar exponential ``p₀ = R(ω·dtᵢ) pᵢ + V(ω·dtᵢ)·v·dtᵢ``.
+
+    points: (B, N, 3); times: (B, N) per-point observation times
+    (`extract_pc(..., return_times=True)`); velocity: (B, 2) body (vx, vy);
+    yaw_rate: (B,) ω [rad/s]; t_ref: (B,) reference time (default: per-batch
+    min over real points); time_to_sec: unit scale of `times` (ns default).
+    Pad rows (x=y=0) are left untouched.
+    """
+    valid = ~((points[..., 0] == 0.0) & (points[..., 1] == 0.0))  # (B, N)
+    if t_ref is None:
+        t_ref = jnp.min(jnp.where(valid, times, jnp.inf), axis=1)
+    dt = (times - t_ref[:, None]) * time_to_sec  # (B, N) seconds
+    dt = jnp.where(valid, dt, 0.0)
+
+    th = yaw_rate[:, None] * dt  # (B, N)
+    c, s = jnp.cos(th), jnp.sin(th)
+    x, y = points[..., 0], points[..., 1]
+    rx = c * x - s * y
+    ry = s * x + c * y
+    # V(θ)·v·dt with the standard SE(2) left-Jacobian; series-guarded at ω→0.
+    w = yaw_rate[:, None]
+    small = jnp.abs(th) < 1e-6
+    a = jnp.where(small, dt * (1.0 - th * th / 6.0),
+                  s / jnp.where(small, 1.0, w))
+    b = jnp.where(small, dt * th / 2.0,
+                  (1.0 - c) / jnp.where(small, 1.0, w))
+    tx = a * velocity[:, None, 0] - b * velocity[:, None, 1]
+    ty = b * velocity[:, None, 0] + a * velocity[:, None, 1]
+    out = jnp.stack([rx + tx, ry + ty, points[..., 2]], axis=-1)
+    return jnp.where(valid[..., None], out, points)

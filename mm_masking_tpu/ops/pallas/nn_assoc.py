@@ -243,19 +243,26 @@ def stripe_sort_target(
     Returns (q_sorted (B, M, C), key_sorted (B, M), use_x (B,) bool).
     Pad rows (`target_pad_val` sentinels, +1000) sort to the top end and are
     never within trim of a real point. NaN keys sort last.
+
+    Gradient note: the sort KEYS and permutation are discrete/stop-gradient,
+    but ``q_sorted``'s VALUES keep ``q_full``'s gradient (take_along_axis is
+    differentiable w.r.t. the gathered operand) — callers that gather
+    residual coordinates from ``q_sorted`` see the same target gradients as
+    the dense path.
     """
+    q_sg = jax.lax.stop_gradient(q_full)
     # Span over REAL rows only: including the +pad_val sentinels would turn
     # "widest-spread axis" into "axis with the smaller minimum" and can pick
     # the narrow axis — every tile then overflows its window and the call
     # silently runs the dense fallback each iteration.
     real = ~(
-        (q_full[..., 0] == pad_val) & (q_full[..., 1] == pad_val)
+        (q_sg[..., 0] == pad_val) & (q_sg[..., 1] == pad_val)
     )  # (B, M)
-    masked = jnp.where(real[..., None], q_full[..., :2], jnp.nan)
+    masked = jnp.where(real[..., None], q_sg[..., :2], jnp.nan)
     span = jnp.nanmax(masked, axis=1) - jnp.nanmin(masked, axis=1)  # (B, 2)
     span = jnp.where(jnp.isnan(span), 0.0, span)
     use_x = span[:, 0] >= span[:, 1]
-    key = jnp.where(use_x[:, None], q_full[..., 0], q_full[..., 1])
+    key = jnp.where(use_x[:, None], q_sg[..., 0], q_sg[..., 1])
     order = jnp.argsort(key, axis=1)
     q_sorted = jnp.take_along_axis(q_full, order[..., None], axis=1)
     key_sorted = jnp.take_along_axis(key, order, axis=1)
@@ -395,10 +402,7 @@ def nn_argmin_stripe_presorted(
     find = jax.vmap(functools.partial(jnp.searchsorted, side="left"))
     start_needed = find(key_sorted, lo)  # (B, T)
     end_needed = find(key_sorted, hi)
-    overflow = jnp.any(
-        jnp.where(lo <= hi, end_needed - start_needed, 0) > window
-    )
-    start = jnp.clip(start_needed, 0, M - window)
+    max_run = jnp.max(jnp.where(lo <= hi, end_needed - start_needed, 0))
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -410,41 +414,57 @@ def nn_argmin_stripe_presorted(
     # the vmapped dynamic_slice window copy was never the bottleneck). Kept
     # unit-tested as the documented alternative; not wired in.
 
-    def stripe_path(args):
-        p, q_sorted, start = args
-        p_tiles = p.reshape(B * T, tn, 3)
-        # Contiguous window per (b, t): a vmapped dynamic_slice is a plain
-        # block copy; a take_along_axis gather here is ~10× slower.
-        if use_pallas and qt_sorted is not None and window % 512 == 0:
-            # Slice the pre-formatted coord-major map directly — no
-            # per-iteration (B·T, 8, W) transpose.
-            slice_w = functools.partial(
-                jax.lax.dynamic_slice_in_dim, slice_size=window, axis=1
-            )
-            qt_win = jax.vmap(
-                jax.vmap(slice_w, in_axes=(None, 0)), in_axes=(0, 0)
-            )(qt_sorted, start)  # (B, T, 8, W)
-            local_idx, d2 = _nn_argmin_pallas_fmt(
-                p_tiles, qt_win.reshape(B * T, 8, window),
-                tn=min(256, tn), tm=window,
-            )
-        else:
-            slice_w = functools.partial(
-                jax.lax.dynamic_slice_in_dim, slice_size=window, axis=0
-            )
-            q_win = jax.vmap(  # over B
-                jax.vmap(slice_w, in_axes=(None, 0)), in_axes=(0, 0)
-            )(q_sorted[..., :3], start)  # (B, T, W, 3)
-            local_idx, d2 = dense(p_tiles, q_win.reshape(B * T, window, 3))
-        idx = local_idx.reshape(B, T, tn) + start[..., None]
-        return idx.reshape(B, T * tn), d2.reshape(B, T * tn)
+    # Density-adaptive window tiers: the needed run per tile is
+    # ≈ M · (tile key span + 2·trim) / map span — usually far below the
+    # worst-case `window`. Compile a small ladder of window sizes and
+    # lax.switch to the tightest one that provably covers every tile's run
+    # this iteration (still exact-within-trim); dense is the final rung.
+    tiers = sorted(
+        {window} | {w for w in (window // 2, window // 4) if w >= 512}
+    )
+
+    def make_stripe_path(win: int):
+        def stripe_path(args):
+            p, q_sorted, start_needed = args
+            start = jnp.clip(start_needed, 0, M - win)
+            p_tiles = p.reshape(B * T, tn, 3)
+            # Contiguous window per (b, t): a vmapped dynamic_slice is a
+            # plain block copy; a take_along_axis gather is ~10× slower.
+            if use_pallas and qt_sorted is not None and win % 512 == 0:
+                # Slice the pre-formatted coord-major map directly — no
+                # per-iteration (B·T, 8, W) transpose.
+                slice_w = functools.partial(
+                    jax.lax.dynamic_slice_in_dim, slice_size=win, axis=1
+                )
+                qt_win = jax.vmap(
+                    jax.vmap(slice_w, in_axes=(None, 0)), in_axes=(0, 0)
+                )(qt_sorted, start)  # (B, T, 8, W)
+                local_idx, d2 = _nn_argmin_pallas_fmt(
+                    p_tiles, qt_win.reshape(B * T, 8, win),
+                    tn=min(256, tn), tm=win,
+                )
+            else:
+                slice_w = functools.partial(
+                    jax.lax.dynamic_slice_in_dim, slice_size=win, axis=0
+                )
+                q_win = jax.vmap(  # over B
+                    jax.vmap(slice_w, in_axes=(None, 0)), in_axes=(0, 0)
+                )(q_sorted[..., :3], start)  # (B, T, W, 3)
+                local_idx, d2 = dense(p_tiles, q_win.reshape(B * T, win, 3))
+            idx = local_idx.reshape(B, T, tn) + start[..., None]
+            return idx.reshape(B, T * tn), d2.reshape(B, T * tn)
+
+        return stripe_path
 
     def dense_path(args):
         p, q_sorted, _ = args
         return dense(p, q_sorted[..., :3])
 
-    idx, d2 = jax.lax.cond(
-        overflow, dense_path, stripe_path, (p, q_sorted, start)
+    branches = [make_stripe_path(w) for w in tiers] + [dense_path]
+    # Branch index: first tier whose window covers the largest needed run.
+    which = sum((max_run > w).astype(jnp.int32) for w in tiers)
+    idx, d2 = jax.lax.switch(
+        which, branches, (p, q_sorted, start_needed)
     )
     return idx[:, :N].astype(jnp.int32), d2[:, :N]
 

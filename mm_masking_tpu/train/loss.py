@@ -125,7 +125,15 @@ def eval_training_loss(
             )
             loss_mask_pts = bce(mask, map_bev)
         if weights.num_pts > 0.0:
-            loss_num_pts = mean_all_pts - diff_num_non0
+            if weights.num_pts_floor > 0.0:
+                # Hinged anti-collapse floor (round-3 diagnosis): same
+                # gradient as the reference's linear term while the count is
+                # below floor·mean_all_pts, exactly zero above it.
+                loss_num_pts = jnp.maximum(
+                    weights.num_pts_floor * mean_all_pts - diff_num_non0, 0.0
+                )
+            else:
+                loss_num_pts = mean_all_pts - diff_num_non0
 
     loss = (
         weights.icp_rot * loss_rot

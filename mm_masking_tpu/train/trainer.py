@@ -59,7 +59,22 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     # when the learned weights collapse a batch's system to near-singular;
     # dropping those updates keeps one bad step from NaN-poisoning the run
     # (observed: a walls-scene run died at epoch 3 and flatlined without this).
-    return optax.apply_if_finite(tx, max_consecutive_errors=100)
+    # max_consecutive_errors must be effectively infinite: optax GIVES UP and
+    # APPLIES the non-finite update after that many consecutive errors —
+    # walls_full r2 hit exactly this (~100 bad steps over epochs 14-19, NaN
+    # params at epoch 20, loss flatlined at the init baseline forever). A
+    # paused-but-alive run can recover; NaN params cannot.
+    return optax.apply_if_finite(tx, max_consecutive_errors=10**8)
+
+
+def _notfinite_count(opt_state) -> float:
+    """Total dropped-update count from the apply_if_finite wrapper (a rising
+    value across epochs is the 'training silently frozen' tell)."""
+    for leaf_name in ("total_notfinite", "notfinite_count"):
+        cnt = getattr(opt_state, leaf_name, None)
+        if cnt is not None:
+            return float(jax.device_get(cnt))
+    return 0.0
 
 
 class Trainer:
@@ -128,6 +143,10 @@ class Trainer:
         (loss, (comp, var_updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.variables["params"])
+        # Collapse diagnostics (VERDICT r2 #3): the raw gradient magnitude per
+        # step is the cheapest signal separating "converged, gradients died"
+        # from "gradients exploded and apply_if_finite froze the run".
+        grad_norm = optax.global_norm(grads)
         updates, opt_state = self.tx.update(
             grads, state.opt_state, state.variables["params"]
         )
@@ -144,7 +163,7 @@ class Trainer:
             best_norm=state.best_norm,
             rng=rng,
         )
-        return new_state, loss, comp
+        return new_state, loss, comp, grad_norm
 
     # ------------------------------------------------------------- eval step
     def _eval_step_impl(self, state: TrainState, batch, *, binary: bool):
@@ -165,20 +184,26 @@ class Trainer:
     def train_epoch(self, state: TrainState, batches: Iterable, epoch: int):
         loss_hist = []
         comp_hist = []
+        gnorm_hist = []
         it = self.cfg.train.icp_loss_only_iter
         mask_on = it <= 0 or epoch < it
         for batch in batches:
             batch = shard_batch(batch, self.mesh)
-            state, loss, comp = self._train_step(
+            state, loss, comp, gnorm = self._train_step(
                 state, batch, mask_losses_active=mask_on
             )
             loss_hist.append(loss)
             comp_hist.append(comp)
+            gnorm_hist.append(gnorm)
         mean_loss = float(jnp.mean(jnp.stack(loss_hist)))
         mean_comp = {
             f: float(jnp.mean(jnp.stack([getattr(c, f) for c in comp_hist])))
             for f in LossComponents._fields
         }
+        g = jnp.stack(gnorm_hist)
+        mean_comp["grad_norm"] = float(jnp.mean(g))
+        mean_comp["grad_norm_max"] = float(jnp.max(g))
+        mean_comp["notfinite_count"] = _notfinite_count(state.opt_state)
         return state, mean_loss, mean_comp
 
     def validate(self, state: TrainState, batches: Iterable, binary: bool = False,

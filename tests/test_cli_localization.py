@@ -1,0 +1,108 @@
+"""End-to-end drive of the composed CLI driver
+(`python -m mm_masking_tpu.localization`): teach over converter shards →
+map.npz, localize a repeat sequence → trajectory + GT stats. This is the
+in-process equivalent of `run_test.sh odometry` → `run_test.sh localization`
+→ `run_eval.sh` (`/root/reference/gen_data/run_test.sh:7-24`)."""
+import json
+
+import numpy as np
+import pytest
+
+from mm_masking_tpu.localization.__main__ import main
+
+
+def _planar_T(x, y, h):
+    T = np.eye(4)
+    T[:2, :2] = [[np.cos(h), -np.sin(h)], [np.sin(h), np.cos(h)]]
+    T[:2, 3] = [x, y]
+    return T
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(21)
+    n = 800
+    pts = np.zeros((n, 3), np.float32)
+    # ring + two walls: enough planar structure for pt2pl
+    r = rng.uniform(4, 12, n // 2)
+    a = rng.uniform(0, 2 * np.pi, n // 2)
+    pts[: n // 2, 0] = r * np.cos(a)
+    pts[: n // 2, 1] = r * np.sin(a)
+    t = rng.uniform(-8, 8, n - n // 2)
+    pts[n // 2 :, 0] = t
+    pts[n // 2 :, 1] = np.where(t > 0, 6.0, -7.0)
+    return pts
+
+
+def _write_shards(d, world, poses, stamps, rng):
+    d.mkdir(parents=True, exist_ok=True)
+    for T_wr, st in zip(poses, stamps):
+        Ti = np.linalg.inv(T_wr)
+        s = (world @ Ti[:3, :3].T + Ti[:3, 3]).astype(np.float32)
+        s += rng.normal(0, 0.01, s.shape).astype(np.float32)
+        np.savez_compressed(d / f"frame_{st}.npz", filt_pc=s, raw_pc=s)
+
+
+def test_cli_teach_then_localize_with_gt(tmp_path, world):
+    rng = np.random.default_rng(5)
+    teach_dir = tmp_path / "teach"
+    rep_dir = tmp_path / "repeat"
+
+    teach_stamps = [1_000_000 + 100_000 * i for i in range(3)]
+    _write_shards(teach_dir, world, [np.eye(4)] * 3, teach_stamps, rng)
+
+    reps = [(0.3 * i, 0.05 * i, 0.03 * i) for i in range(4)]
+    rep_poses = [_planar_T(*r) for r in reps]
+    rep_stamps = [2_000_000 + 100_000 * i for i in range(4)]
+    _write_shards(rep_dir, world, rep_poses, rep_stamps, rng)
+
+    map_npz = str(tmp_path / "map.npz")
+    rc = main(["teach", "--scans", str(teach_dir), "--out-map", map_npz,
+               "--out-traj", str(tmp_path / "odo.txt"),
+               "--max-points", "1024", "--max-map-pts", "2048"])
+    assert rc == 0
+    m = np.load(map_npz)["map_pc"]
+    assert m.shape[-1] == 6  # normals present
+
+    # GT CSVs: map sensor sits at the ENU origin; repeat poses are the GT.
+    def write_csv(path, rows):
+        with open(path, "w") as f:
+            f.write("GPSTime,easting,northing,altitude,ve,vn,vu,"
+                    "roll,pitch,heading\n")
+            for t_us, x, y, h in rows:
+                f.write(f"{t_us/1e6:.6f},{x},{y},0,0,0,0,0,0,{h}\n")
+
+    map_csv = str(tmp_path / "map_gt.csv")
+    loc_csv = str(tmp_path / "loc_gt.csv")
+    write_csv(map_csv, [(1_000_000, 0.0, 0.0, 0.0)])
+    write_csv(loc_csv, [(t, x, y, h)
+                        for t, (x, y, h) in zip(rep_stamps, reps)])
+
+    traj = str(tmp_path / "traj.txt")
+    stats_json = str(tmp_path / "stats.json")
+    rc = main(["localize", "--scans", str(rep_dir), "--map", map_npz,
+               "--out-traj", traj, "--map-gt", map_csv, "--loc-gt", loc_csv,
+               "--stats", stats_json, "--max-points", "1024",
+               "--batch-size", "2",
+               # synthetic world is strictly planar: every estimated normal
+               # is ±z, so use pt2pt and disable the z-normal gate (the
+               # same setup the in-process test uses)
+               "--icp-type", "pt2pt", "--normal-threshold", "1.0"])
+    assert rc == 0
+    stats = json.load(open(stats_json))
+    assert stats["n_frames"] == 4
+    # Poses start within 0.45 m of the map; 50-iter pt2pl must land well
+    # under the 5 cm / map-noise scale.
+    assert stats["trans_rmse"] < 0.08, stats
+    assert stats["rot_rmse"] < 0.02, stats
+
+
+def test_cli_refuses_map_without_normals(tmp_path, world):
+    rng = np.random.default_rng(6)
+    rep = tmp_path / "rep"
+    _write_shards(rep, world, [np.eye(4)], [1], rng)
+    bad_map = str(tmp_path / "bad.npz")
+    np.savez_compressed(bad_map, map_pc=world)  # (N, 3): no normals
+    with pytest.raises(SystemExit, match="normals"):
+        main(["localize", "--scans", str(rep), "--map", bad_map,
+              "--out-traj", str(tmp_path / "t.txt")])

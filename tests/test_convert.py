@@ -335,3 +335,124 @@ def test_temporal_iterator_sentinel():
     assert out[0][1].from_id == INVALID_ID
     assert out[1][1].from_id == vid_pack(1, 0)
     assert out[2][1].from_id == vid_pack(1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Schema dispatch on recorded `topics.type` strings
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+from mm_masking_tpu.data.convert import (  # noqa: E402
+    UnknownSchemaError,
+    parse_pointcloud_any,
+)
+
+
+def encode_bare_pointcloud2(points_xyz: np.ndarray, stamp_ns: int) -> bytes:
+    """Second serialization variant: a bare sensor_msgs/msg/PointCloud2 with
+    only x/y/z fields and NO VTR wrapper (no trailing xi)."""
+    w = CdrWriter()
+    w.i32(stamp_ns // 1_000_000_000)
+    w.u32(stamp_ns % 1_000_000_000)
+    w.string("radar")
+    n = points_xyz.shape[0]
+    w.u32(1)
+    w.u32(n)
+    names = ["x", "y", "z"]
+    w.u32(len(names))
+    for i, name in enumerate(names):
+        w.string(name)
+        w.u32(4 * i)
+        w.u8(7)
+        w.u32(1)
+    w.u8(0)
+    w.u32(12)
+    w.u32(12 * n)
+    w.bytes_seq(points_xyz.astype("<f4").tobytes())
+    w.u8(1)
+    return bytes(w.buf)
+
+
+def test_parse_pointcloud_any_bare_pc2_variant():
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(17, 3)).astype(np.float32)
+    blob = encode_bare_pointcloud2(pts, stamp_ns=77_000_000_123)
+    out = parse_pointcloud_any(blob, "sensor_msgs/msg/PointCloud2")
+    np.testing.assert_allclose(out["points"][:, :3], pts, atol=1e-7)
+    # Missing normal fields decode as zeros; no wrapper → identity twist.
+    assert np.all(out["points"][:, 3:] == 0.0)
+    assert np.all(out["xi"] == 0.0)
+    assert out["stamp"] == 77_000_000_123
+    # The same blob under the VTR-wrapper type would mis-parse — the
+    # dispatcher must pick the layout from the type string, so routing the
+    # wrapper blob explicitly still works:
+    wrapped = encode_vtr_pointcloud(
+        np.zeros((3, 6), np.float32), np.arange(6.0), 42
+    )
+    out2 = parse_pointcloud_any(wrapped, "vtr_msgs/msg/PointCloudMsg")
+    np.testing.assert_allclose(out2["xi"], np.arange(6.0))
+
+
+def test_unknown_pointcloud_type_refused():
+    blob = encode_bare_pointcloud2(np.zeros((2, 3), np.float32), 1)
+    with pytest.raises(UnknownSchemaError) as ei:
+        parse_pointcloud_any(blob, "std_msgs/msg/Image", topic="/vtr/x")
+    # Actionable: names the topic and the offending type string.
+    assert "std_msgs/msg/Image" in str(ei.value)
+    assert "/vtr/x" in str(ei.value)
+
+
+def test_unknown_vertex_type_refused(tmp_path):
+    """A graph bag whose vertexes topic records a foreign type must fail
+    loudly at load (not be silently mis-parsed or skipped as corrupt)."""
+    graph_dir = tmp_path / "graph"
+    os.makedirs(graph_dir)
+    vid = vid_pack(1, 0)
+    make_typed_bag(str(graph_dir / "run.db3"), {
+        "/graph/vertexes": (
+            "some_other_stack/msg/VertexInfo",
+            [(10, encode_vertex_msg(vid, 10))],
+        ),
+    })
+    with pytest.raises(UnknownSchemaError) as ei:
+        PoseGraph.from_dir(str(graph_dir))
+    assert "some_other_stack/msg/VertexInfo" in str(ei.value)
+
+
+def test_flat_conversion_bare_pc2_bag(tmp_path):
+    """Flat bags recorded as bare PointCloud2 convert via the dispatcher."""
+    rng = np.random.default_rng(6)
+    graph_dir = tmp_path / "graph"
+    out_dir = tmp_path / "shards"
+    os.makedirs(graph_dir)
+    frames = []
+    for i in range(2):
+        ns = (2_000_000 + i * 100_000) * 1000
+        frames.append((ns, rng.normal(size=(12 + i, 3)).astype(np.float32)))
+    make_typed_bag(str(graph_dir / "g.db3"), {
+        "/vtr/radar_filtered_point_cloud": (
+            "sensor_msgs/msg/PointCloud2",
+            [(ns, encode_bare_pointcloud2(p, ns)) for ns, p in frames],
+        ),
+    })
+    index = convert_graph(str(graph_dir), str(out_dir), msg_prefix="radar_")
+    assert len(index["frames"]) == 2
+    shard = np.load(out_dir / index["frames"][0])
+    np.testing.assert_allclose(shard["filt_pc"], frames[0][1], atol=1e-7)
+
+
+def test_adjacency_cache_invalidation():
+    """Edges appended after a traversal are picked up (cache keyed on count)."""
+    from mm_masking_tpu.data.pose_graph import Edge, Vertex
+    g = PoseGraph()
+    for i in range(3):
+        vid = vid_pack(1, i)
+        g.vertices[vid] = Vertex(id=vid, stamp=1000 + i)
+    g.edges.append(Edge(1, TEMPORAL, vid_pack(1, 0), vid_pack(1, 1),
+                        np.zeros(6)))
+    out = list(g.temporal_iterator(g.get_vertex((1, 0))))
+    assert len(out) == 2
+    g.edges.append(Edge(2, TEMPORAL, vid_pack(1, 1), vid_pack(1, 2),
+                        np.zeros(6)))
+    out = list(g.temporal_iterator(g.get_vertex((1, 0))))
+    assert len(out) == 3

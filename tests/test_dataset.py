@@ -106,7 +106,7 @@ def test_epoch_batches_and_train_step(synth_root):
 
     trainer = Trainer(cfg)
     state = trainer.init_state()
-    state, loss, _ = trainer._train_step(state, b, mask_losses_active=True)
+    state, loss, *_ = trainer._train_step(state, b, mask_losses_active=True)
     assert np.isfinite(float(loss))
 
 

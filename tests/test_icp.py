@@ -1,5 +1,7 @@
 """ICP property tests: recovery of known perturbations, trimming, robustness,
 weight gradients through the unrolled solver, and NN-association parity."""
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -358,3 +360,57 @@ def test_nn_stripe_prefetch_kernel_matches_blocked():
     idx_b, d2_b = nn_argmin_blocked(jnp.asarray(p), jnp.asarray(q))
     assert (np.asarray(idx_s) == np.asarray(idx_b)).all()
     np.testing.assert_allclose(np.asarray(d2_s), np.asarray(d2_b), atol=1e-3)
+
+
+def test_stripe_nn_target_grad_matches_dense():
+    """ADVICE r2: the stripe path must keep the TARGET-value gradient (the
+    sort permutation is discrete, but the gathered q coordinates are
+    differentiable, same as the dense path)."""
+    src, target = make_scene(seed=16, B=2, N=96, M=256)
+    T0 = perturb(2, seed=17, pos=0.2, rot=0.05)
+
+    def loss(tgt, stripe):
+        cfg = ICPConfig(icp_type="pt2pt", max_iterations=3, nn_stripe=stripe,
+                        nn_stripe_window=96)
+        T = icp(src, tgt, T0, cfg=cfg)["T"]
+        return jnp.sum(jnp.abs(T - jnp.eye(4)))
+
+    g_d = jax.grad(loss)(target, False)
+    g_s = jax.grad(loss)(target, True)
+    assert float(jnp.sum(jnp.abs(g_d))) > 0.0  # dense target grad is real
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_d),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_motion_gated_refresh_matches_always_associate():
+    """nn_refresh_dist > 0 (skip the NN search while the pose has moved less
+    than the threshold) must land within ≤1 mm / ≤0.005° of the
+    search-every-iteration solver on converging scenes."""
+    src, target = make_scene(seed=26, B=8, N=192, M=512)
+    T0 = perturb(8, seed=27, pos=0.4, rot=0.1)
+
+    def solve(refresh):
+        cfg = ICPConfig(icp_type="pt2pt", max_iterations=50,
+                        differentiable=False, nn_refresh_dist=refresh)
+        return np.asarray(icp(src, target, T0, cfg=cfg)["T"])
+
+    T_ref = solve(0.0)
+    T_gated = solve(0.05)
+    dt = np.linalg.norm(T_ref[:, :2, 3] - T_gated[:, :2, 3], axis=-1)
+    dR = np.einsum("bij,bkj->bik", T_ref[:, :2, :2], T_gated[:, :2, :2])
+    dth = np.abs(np.arctan2(dR[:, 1, 0], dR[:, 0, 0]))
+    assert dt.max() <= 1e-3, dt.max()
+    assert dth.max() <= np.radians(0.005), dth.max()
+
+
+def test_motion_gated_refresh_through_stripe():
+    """Gated refresh composes with the stripe association path."""
+    src, target = make_scene(seed=28, B=2, N=128, M=384)
+    T0 = perturb(2, seed=29, pos=0.3, rot=0.05)
+    cfg_a = ICPConfig(icp_type="pt2pt", max_iterations=50,
+                      differentiable=False, nn_stripe=True,
+                      nn_stripe_window=128, nn_refresh_dist=0.0)
+    cfg_b = dataclasses.replace(cfg_a, nn_refresh_dist=0.05)
+    Ta = np.asarray(icp(src, target, T0, cfg=cfg_a)["T"])
+    Tb = np.asarray(icp(src, target, T0, cfg=cfg_b)["T"])
+    np.testing.assert_allclose(Tb[:, :3, 3], Ta[:, :3, 3], atol=2e-3)

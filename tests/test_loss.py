@@ -91,3 +91,35 @@ def test_config_from_reference_params():
     assert cfg.data.num_train == 4 and cfg.data.pos_std == 1.5
     assert cfg.train.batch_size_train == 8 and cfg.train.optimizer == "sgd"
     assert cfg.loss.cfar == 0.5 and cfg.loss.mask_pts == 1.0
+
+
+def test_num_pts_hinged_floor():
+    """num_pts_floor > 0: reference-gradient below the floor, exactly zero
+    above it (the round-3 anti-collapse term)."""
+    import jax
+    from mm_masking_tpu.config import LossWeights
+
+    T = jnp.eye(4)[None]
+    mask = jnp.full((1, 8, 8), 0.5)
+    batch_scan = {"fft_data": mask}
+    batch_map = {"pc": jnp.zeros((1, 4, 6))}
+    w = LossWeights(icp_rot=0.0, icp_trans=0.0, mask_pts=0.0,
+                    num_pts=1.0, num_pts_floor=0.25)
+    mean_all = jnp.asarray(1000.0)
+
+    def num_loss(diff_num):
+        loss, comp = eval_training_loss(
+            T, mask, diff_num, mean_all, T, batch_scan, batch_map, w)
+        return loss
+
+    # Above the floor (250): zero value AND zero gradient.
+    assert float(num_loss(jnp.asarray(400.0))) == 0.0
+    assert float(jax.grad(num_loss)(jnp.asarray(400.0))) == 0.0
+    # Below: the reference's linear gradient (−1 per point).
+    assert float(num_loss(jnp.asarray(100.0))) == 150.0
+    assert float(jax.grad(num_loss)(jnp.asarray(100.0))) == -1.0
+    # floor=0 keeps the reference's always-on linear term.
+    w0 = LossWeights(icp_rot=0.0, icp_trans=0.0, mask_pts=0.0, num_pts=1.0)
+    loss, _ = eval_training_loss(
+        T, mask, jnp.asarray(400.0), mean_all, T, batch_scan, batch_map, w0)
+    assert float(loss) == 600.0

@@ -57,7 +57,7 @@ def test_train_step_runs_on_8_device_mesh(tmp_path):
     assert trainer.mesh.devices.size == 8
     state = trainer.init_state()
     batch = shard_batch(batches(1)[0], trainer.mesh)
-    new_state, loss, comp = trainer._train_step(
+    new_state, loss, comp, _ = trainer._train_step(
         state, batch, mask_losses_active=True
     )
     assert np.isfinite(float(loss))
@@ -111,8 +111,8 @@ def test_sharded_equals_single_device(tmp_path):
 
     b8 = shard_batch(batch, t8.mesh)
     b1 = shard_batch(batch, t1.mesh)
-    _, loss8, _ = t8._train_step(s8, b8, mask_losses_active=True)
-    _, loss1, _ = t1._train_step(s1, b1, mask_losses_active=True)
+    _, loss8, *_ = t8._train_step(s8, b8, mask_losses_active=True)
+    _, loss1, *_ = t1._train_step(s1, b1, mask_losses_active=True)
     assert abs(float(loss8) - float(loss1)) < 1e-4, (float(loss8), float(loss1))
 
 
