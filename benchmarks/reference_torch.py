@@ -88,8 +88,16 @@ def _nn_assoc(p, mapp, chunk=512):
         return torch.cat(idxs, dim=1)
 
 
-def torch_icp(scan, mapp, T_init, weights, iters=10, trim=5.0, k=1.0):
-    """Unrolled batched pt2pt Cauchy ICP, planar DOF (dICP semantics)."""
+def torch_icp(scan, mapp, T_init, weights, iters=10, trim=5.0, k=1.0,
+              normals=None):
+    """Unrolled batched Cauchy ICP, planar DOF (dICP semantics).
+
+    pt2pt by default; pass `normals` (B, M, 3) for the point-to-plane
+    residual the reference's radar→lidar eval modules use
+    (`radar_lidar_config.yaml:219-248`, dICP called with normals-carrying
+    maps, `icp_weight_dataset.py:395-398`): signed scalar r = n·(p − q),
+    robust weight on |r|, trim still gated on point distance.
+    """
     T = T_init
     B, N, _ = scan.shape
     for _ in range(iters):
@@ -98,6 +106,31 @@ def torch_icp(scan, mapp, T_init, weights, iters=10, trim=5.0, k=1.0):
         q = torch.gather(mapp[..., :3], 1, idx.unsqueeze(-1).expand(-1, -1, 3))
         r = p - q
         dmin = r.norm(dim=-1)
+        if normals is not None:
+            nq = torch.gather(normals, 1, idx.unsqueeze(-1).expand(-1, -1, 3))
+            r_pl = (nq * r).sum(dim=-1)  # (B, N) signed plane residual
+            w = 1.0 / (1.0 + (r_pl.abs() / k) ** 2)
+            w = w * (dmin < trim) * weights
+            # Planar point-to-plane GN row: J = [n_x, n_y, (p × n)_z].
+            Jn = torch.stack(
+                [nq[..., 0], nq[..., 1],
+                 p[..., 0] * nq[..., 1] - p[..., 1] * nq[..., 0]], dim=-1)
+            A = torch.einsum("bni,bnj,bn->bij", Jn, Jn, w)
+            b = -torch.einsum("bni,bn,bn->bi", Jn, r_pl, w)
+            delta = torch.linalg.solve(A + 1e-9 * torch.eye(3), b)
+            dx, dy, dth = delta[:, 0], delta[:, 1], delta[:, 2]
+            c, s = torch.cos(dth), torch.sin(dth)
+            Td = torch.zeros_like(T)
+            Td[:, 0, 0] = c
+            Td[:, 0, 1] = -s
+            Td[:, 1, 0] = s
+            Td[:, 1, 1] = c
+            Td[:, 2, 2] = 1.0
+            Td[:, 3, 3] = 1.0
+            Td[:, 0, 3] = dx
+            Td[:, 1, 3] = dy
+            T = Td @ T
+            continue
         w = 1.0 / (1.0 + (dmin / k) ** 2)
         w = w * (dmin < trim) * weights
         # Planar GN (x, y, yaw).

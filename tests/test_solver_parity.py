@@ -31,20 +31,29 @@ from mm_masking_tpu.dicp import ICPConfig, icp  # noqa: E402
 
 
 def _walls_scene(rng, n_src=256, n_map=1024, box=20.0):
-    """Structured planar scene: points along K random wall segments."""
+    """Structured planar scene: points along K random wall segments.
+
+    Returns (src, mp) where mp is (n_map, 6) — xyz + per-point wall normal
+    (the in-plane perpendicular of the segment direction), so the same scene
+    drives both pt2pt (columns :3) and pt2pl parity."""
     K = 6
-    pts = []
+    pts, nrms = [], []
     for _ in range(K):
         a = rng.uniform(-box, box, size=2)
         ang = rng.uniform(0, 2 * np.pi)
         d = np.array([np.cos(ang), np.sin(ang)])
         L = rng.uniform(5.0, 15.0)
-        t = rng.uniform(0, L, size=n_map // K + n_src)
+        npts = n_map // K + n_src
+        t = rng.uniform(0, L, size=npts)
         pts.append(a[None, :] + t[:, None] * d[None, :])
+        nrms.append(np.broadcast_to([-d[1], d[0]], (npts, 2)))
     pts = np.concatenate(pts, axis=0)
-    rng.shuffle(pts)
-    mp = np.zeros((n_map, 3))
+    nrms = np.concatenate(nrms, axis=0)
+    perm = rng.permutation(pts.shape[0])
+    pts, nrms = pts[perm], nrms[perm]
+    mp = np.zeros((n_map, 6))
     mp[:, :2] = pts[:n_map]
+    mp[:, 3:5] = nrms[:n_map]
     src = np.zeros((n_src, 3))
     src[:, :2] = pts[n_map : n_map + n_src] + rng.normal(0, 0.03, size=(n_src, 2))
     return src, mp
@@ -149,6 +158,55 @@ def test_pose_parity_vs_torch_oracle(f64, iters):
         assert max_t <= 0.025, f"10-iter transient {max_t*100:.3f} cm > 2.5 cm"
         assert max_r <= np.radians(0.05), (
             f"rotation deviation {np.degrees(max_r):.4f} deg > 0.05 deg"
+        )
+
+
+@pytest.mark.parametrize("iters", [10, 50])
+def test_pose_parity_pt2pl_vs_torch_oracle(f64, iters):
+    """Point-to-plane branch (the radar→lidar eval solver,
+    `radar_lidar_config.yaml:219-248`): same 128-scene f64 protocol as the
+    pt2pt test, normals-carrying maps, torch oracle vs JAX solver."""
+    devs_t, devs_r = [], []
+    for seed in range(4):  # 4 batches × 32 = 128 pairs
+        src, mp, T0, w, _ = _make_batch(seed + 100, B=32)
+        T_torch = (
+            torch_icp(
+                torch.tensor(src, dtype=torch.float64),
+                torch.tensor(mp[..., :3], dtype=torch.float64),
+                torch.tensor(T0, dtype=torch.float64),
+                torch.tensor(w, dtype=torch.float64),
+                iters=iters,
+                normals=torch.tensor(mp[..., 3:6], dtype=torch.float64),
+            )
+            .numpy()
+        )
+        cfg = ICPConfig(
+            icp_type="pt2pl",
+            max_iterations=iters,
+            differentiable=True,
+            trim_dist=5.0,
+            loss_name="cauchy",
+            loss_metric=1.0,
+            dim=2,
+        )
+        T_jax = np.asarray(icp(src, mp, T0, weight=w, cfg=cfg)["T"])
+        dt, dr = _pose_dev(T_torch, T_jax)
+        devs_t.append(dt)
+        devs_r.append(dr)
+    max_t, max_r = max(devs_t), max(devs_r)
+    print(f"[pt2pl parity iters={iters}] max dev: {max_t*100:.4f} cm, "
+          f"{np.degrees(max_r):.5f} deg over 128 pairs")
+    if iters >= 50:
+        # Converged solutions: the BASELINE.md parity budget applies strictly.
+        assert max_t <= 0.01, f"translation deviation {max_t*100:.3f} cm > 1 cm"
+        assert max_r <= np.radians(0.05), (
+            f"rotation deviation {np.degrees(max_r):.4f} deg > 0.05 deg"
+        )
+    else:
+        # Mid-trajectory transient budget (see the pt2pt test's rationale).
+        assert max_t <= 0.025, f"10-iter transient {max_t*100:.3f} cm > 2.5 cm"
+        assert max_r <= np.radians(0.1), (
+            f"rotation deviation {np.degrees(max_r):.4f} deg > 0.1 deg"
         )
 
 
