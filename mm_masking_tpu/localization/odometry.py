@@ -62,6 +62,15 @@ class OdometryConfig:
     mcransac_filter_pc: bool = True
     mcransac_tolerance: float = 0.1225
     mcransac_iterations: int = 100
+    # Continuous-time registration (`dicp.ct_icp`): per-point pose
+    # interpolation INSIDE the GN solve — the scan-period body twist becomes
+    # a state estimated jointly with the pose, replacing the reference's
+    # STEAM/WNOA continuous-time trajectory (`radar_config.yaml:160-188`).
+    # Needs per-point times passed to `TeachPass.process`.
+    continuous_time: bool = False
+    # WNOA information weight tying the estimated twist to the extrapolated
+    # inter-frame motion (the prior mean).
+    ct_twist_prior_weight: float = 1.0
 
 
 def _icp_cfg(cfg: OdometryConfig) -> ICPConfig:
@@ -114,6 +123,33 @@ def register_frame(scan: jax.Array, map_pc: jax.Array, T_init: jax.Array,
     return out["T"]
 
 
+def register_frame_ct(scan: jax.Array, times: jax.Array, map_pc: jax.Array,
+                      T_init: jax.Array, xi_prior: jax.Array,
+                      cfg: OdometryConfig):
+    """Continuous-time registration of one scan (1, N, 3) + per-point times
+    (1, N) against the local map: joint (pose, within-scan twist) GN solve
+    (`dicp.ct_icp`). Returns (T_end (1, 4, 4), xi (1, 3))."""
+    from mm_masking_tpu.dicp import CTICPConfig, ct_icp
+
+    valid = ~((scan[..., 0] == 0.0) & (scan[..., 1] == 0.0))
+    out = ct_icp(
+        scan, times, map_pc, T_init,
+        weight=valid.astype(scan.dtype),
+        cfg=CTICPConfig(
+            icp_type=cfg.icp_type,
+            max_iterations=cfg.max_iterations,
+            trim_dist=cfg.trim_dist,
+            loss_name="cauchy",
+            loss_metric=cfg.cauchy_k,
+            twist_prior_weight=cfg.ct_twist_prior_weight,
+            pose_prior_weight=cfg.prior_weight,
+        ),
+        xi_prior=xi_prior,
+        T_prior=T_init if cfg.prior_weight > 0.0 else None,
+    )
+    return out["T_end"], out["xi"]
+
+
 def is_keyframe(T_delta: jax.Array, cfg: OdometryConfig) -> bool:
     """Motion since the last keyframe exceeds the vertex-test thresholds."""
     th, r = planar_xi_first_order(T_delta)
@@ -155,6 +191,9 @@ class TeachPass:
         self._register = jax.jit(
             lambda s, m, T: register_frame(s, m, T, cfg)
         )
+        self._register_ct = jax.jit(
+            lambda s, t, m, T, xp: register_frame_ct(s, t, m, T, xp, cfg)
+        )
 
     def _warm_start(self) -> jax.Array:
         """ICP initial guess from the motion prior."""
@@ -183,9 +222,30 @@ class TeachPass:
         nrm = jnp.where(pad[None, :, None], TARGET_PAD_VAL, nrm)
         return jnp.concatenate([self.map_pts[None], nrm], axis=-1)
 
-    def process(self, scan: jax.Array, stamp_us: int | None = None) -> jax.Array:
-        """Feed one scan cloud (N, 3), world pose (4, 4) returned."""
+    def _xi_prior(self) -> jax.Array:
+        """WNOA twist-prior mean: exact planar log of the last inter-frame
+        motion (constant-velocity extrapolation)."""
+        from mm_masking_tpu.dicp.ct_icp import planar_log
+
+        if self.T_prev is None:
+            return jnp.zeros((1, 3))
+        delta = se3_inv(self.T_prev) @ self.T_world_robot
+        return planar_log(delta)
+
+    def process(self, scan: jax.Array, stamp_us: int | None = None,
+                times: jax.Array | None = None) -> jax.Array:
+        """Feed one scan cloud (N, 3), world pose (4, 4) returned.
+
+        times: optional (N,) per-point observation times — with
+        `cfg.continuous_time` the frame is registered by the joint
+        (pose, within-scan twist) solve (`dicp.ct_icp`) and the map is
+        merged from twist-undistorted points.
+        """
         scan = scan[None] if scan.ndim == 2 else scan
+        ct = self.cfg.continuous_time and times is not None
+        if ct:
+            times = jnp.asarray(times)
+            times = times[None] if times.ndim == 1 else times
         if stamp_us is not None:
             self.stamps.append(int(stamp_us))
         if self.map_pts is None:
@@ -199,14 +259,36 @@ class TeachPass:
 
         # Register against the map in the world frame, warm-started from the
         # motion prior.
-        T = self._register(scan, self.map_pts[None], self._warm_start())
+        if ct:
+            # The scan-START pose IS (approximately) the previous scan-end
+            # pose — the sweep is continuous — so the constant-velocity
+            # extrapolation lives in the twist prior, not the pose warm
+            # start; ct_icp returns the scan-end pose.
+            T, xi = self._register_ct(scan, times, self.map_pts[None],
+                                      self.T_world_robot, self._xi_prior())
+            self._last_xi = xi
+        else:
+            T = self._register(scan, self.map_pts[None], self._warm_start())
         self.T_prev = self.T_world_robot
         self.T_world_robot = T
         self.trajectory.append(np.asarray(T[0]))
 
         T_delta = se3_inv(self.T_last_key) @ T
         if is_keyframe(T_delta[0][None], self.cfg):
-            scan_world = transform_points(T, scan)[0]
+            if ct:
+                # Merge UNDISTORTED points: u_i = Exp(s_i ξ)·p_i in the
+                # scan-start frame, then through the scan-start pose.
+                from mm_masking_tpu.dicp.ct_icp import undistort_with_twist
+                from mm_masking_tpu.geom import se3_exp
+
+                u = undistort_with_twist(scan, times, xi)
+                d6 = jnp.zeros((1, 6), T.dtype)
+                d6 = d6.at[:, 0].set(xi[:, 0]).at[:, 1].set(xi[:, 1])
+                d6 = d6.at[:, 5].set(xi[:, 2])
+                T_start = T @ se3_inv(se3_exp(d6))
+                scan_world = transform_points(T_start, u)[0]
+            else:
+                scan_world = transform_points(T, scan)[0]
             self.map_pts = merge_into_map(self.map_pts, scan_world, self.cfg)
             self.T_last_key = T
             self.n_keyframes += 1
