@@ -53,6 +53,7 @@ def main():
     spec = SyntheticSpec(n_scan=n_scan, n_map=n_map)
     cfg = Config(
         model=ModelConfig(dropout=0.05, max_iter=10, inference_max_iter=50,
+                          nn_refresh_dist=0.05,  # speed knob: bench opts in
                           dtype="bfloat16"),
         train=TrainConfig(batch_size_train=bt, batch_size_test=be),
     )

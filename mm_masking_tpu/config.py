@@ -63,9 +63,11 @@ class ModelConfig:
     # association is recomputed whenever the pose has moved more than this
     # since the last search (rotation at an 80 m lever arm), so
     # tolerance-limited late iterations skip the O(N·M) search entirely.
-    # 0 = search every iteration (reference semantics); pose deviation vs
+    # 0 (default) = search every iteration — reference semantics (dICP
+    # associates every iteration, `icp_weight_policy.py:277-288`). 0.05 is
+    # the measured speed knob used by bench/profile paths; pose deviation vs
     # always-search is bounded by tests at ≤1 mm on converging scenes.
-    nn_refresh_dist: float = 0.05
+    nn_refresh_dist: float = 0.0
     # 'unroll' backprops through every GN iteration (reference fidelity);
     # 'implicit' runs the fast while-loop solver and applies the implicit
     # function theorem at convergence (O(1)-memory backward, approximate

@@ -82,10 +82,12 @@ class ICPConfig:
     # `nn_refresh_range`); the cached indices are reused and only the cheap
     # GN update runs. Late tolerance-limited iterations (deltas at the f32
     # noise floor, far below any motion that could change a nearest
-    # neighbor) then cost ~nothing. Exactness: whenever the pose has moved
-    # ≤ threshold since association, every point has moved ≤ threshold, so
-    # with a threshold well under the map's point spacing the reused indices
-    # are the true NN; the solver re-associates the moment motion exceeds it.
+    # neighbor) then cost ~nothing. Accuracy: sub-threshold motion can still
+    # flip the NN of a point sitting near a Voronoi boundary between two map
+    # points, so this is an approximation, not exact — the deviation vs
+    # always-associate is bounded empirically by tests at ≤1 mm / ≤0.005° on
+    # converging scenes (test_icp.py::test_nn_refresh_matches_always_search),
+    # and the solver re-associates the moment motion exceeds the threshold.
     nn_refresh_dist: float = 0.0
     nn_refresh_range: float = 80.0  # worst-case point radius for rotation
 
