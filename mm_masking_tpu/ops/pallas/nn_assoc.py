@@ -269,11 +269,18 @@ def stripe_sort_target(
     return q_sorted, key_sorted, use_x
 
 
-def _nn_stripe_kernel(start_blk_ref, p_ref, q_ref, idx_ref, d2_ref,
+def _nn_stripe_kernel(start_blk_ref, nblk_ref, p_ref, q_ref, idx_ref, d2_ref,
                       mval, midx, *, tm: int, nk: int):
     """Stripe tile kernel: map blocks arrive at DYNAMIC offsets via
     scalar-prefetched block indices (the BlockSpec index map reads
-    start_blk[b, t]) — no host-side window materialization at all."""
+    start_blk[b, t]) — no host-side window materialization at all.
+
+    Per-tile ADAPTIVE depth: tile (b, t) only needs ``nblk[b, t]`` blocks to
+    cover its key span ±trim; for k ≥ nblk the index map aliases to the last
+    needed block (Mosaic elides the copy when the block index repeats) and
+    the distance compute is skipped entirely — on real map distributions the
+    average needed run is well below the worst tile's, so this saves VPU
+    time the fixed-window path spends on every tile."""
     b = pl.program_id(0)
     t = pl.program_id(1)
     k = pl.program_id(2)
@@ -283,20 +290,24 @@ def _nn_stripe_kernel(start_blk_ref, p_ref, q_ref, idx_ref, d2_ref,
         mval[:] = jnp.full_like(mval[:], jnp.inf)
         midx[:] = jnp.zeros_like(midx[:])
 
-    p = p_ref[0]  # (tn, 8)
-    q = q_ref[0]  # (8, tm)
-    dx = p[:, 0:1] - q[0:1, :]
-    dy = p[:, 1:2] - q[1:2, :]
-    dz = p[:, 2:3] - q[2:3, :]
-    d = dx * dx + dy * dy + dz * dz
+    @pl.when(k < nblk_ref[b, t])
+    def _():
+        p = p_ref[0]  # (tn, 8)
+        q = q_ref[0]  # (8, tm)
+        dx = p[:, 0:1] - q[0:1, :]
+        dy = p[:, 1:2] - q[1:2, :]
+        dz = p[:, 2:3] - q[2:3, :]
+        d = dx * dx + dy * dy + dz * dz
 
-    base = (start_blk_ref[b, t] + k) * tm  # global column of this block
-    local_min = jnp.min(d, axis=1, keepdims=True)
-    local_arg = jnp.argmin(d, axis=1).reshape(-1, 1).astype(jnp.int32) + base
+        base = (start_blk_ref[b, t] + k) * tm  # global column of this block
+        local_min = jnp.min(d, axis=1, keepdims=True)
+        local_arg = (
+            jnp.argmin(d, axis=1).reshape(-1, 1).astype(jnp.int32) + base
+        )
 
-    better = local_min < mval[:]
-    mval[:] = jnp.where(better, local_min, mval[:])
-    midx[:] = jnp.where(better, local_arg, midx[:])
+        better = local_min < mval[:]
+        mval[:] = jnp.where(better, local_min, mval[:])
+        midx[:] = jnp.where(better, local_arg, midx[:])
 
     @pl.when(k == nk - 1)
     def _():
@@ -310,22 +321,30 @@ def _nn_stripe_pallas(
     QT: jax.Array,      # (B, 8, M) coord-major map, M % tm == 0
     start_blk: jax.Array,  # (B, T) int32 first map-block index per tile
     tn: int, tm: int, nk: int, interpret: bool = False,
+    nblk: jax.Array | None = None,  # (B, T) int32 blocks needed per tile
 ) -> tuple[jax.Array, jax.Array]:
     B, N, _ = p.shape
     T = N // tn
+    if nblk is None:
+        nblk = jnp.full((B, T), nk, jnp.int32)
+
+    def qmap(b, t, k, sb, nb):
+        # Alias beyond-need steps to the last needed block: the repeated
+        # index elides the DMA and @pl.when skips the compute.
+        return (b, 0, sb[b, t] + jnp.minimum(k, nb[b, t] - 1))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, T, nk),
         in_specs=[
-            pl.BlockSpec((1, tn, 8), lambda b, t, k, sb: (b, t, 0),
+            pl.BlockSpec((1, tn, 8), lambda b, t, k, sb, nb: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, tm), lambda b, t, k, sb: (b, 0, sb[b, t] + k),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tm), qmap, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, tn), lambda b, t, k, sb: (b, 0, t),
+            pl.BlockSpec((1, 1, tn), lambda b, t, k, sb, nb: (b, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tn), lambda b, t, k, sb: (b, 0, t),
+            pl.BlockSpec((1, 1, tn), lambda b, t, k, sb, nb: (b, 0, t),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -341,7 +360,7 @@ def _nn_stripe_pallas(
             jax.ShapeDtypeStruct((B, 1, N), p.dtype),
         ],
         interpret=interpret,
-    )(start_blk, p, QT)
+    )(start_blk, nblk, p, QT)
     return idx[:, 0], d2[:, 0]
 
 
@@ -407,12 +426,52 @@ def nn_argmin_stripe_presorted(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
-    # NOTE: a scalar-prefetch kernel variant (`_nn_stripe_pallas` below —
-    # map blocks fetched at dynamic offsets straight from the coord-major
-    # array, zero window copies) measures association-exact but NO faster
-    # than this window path on v5e (380 vs 355 ms on the 50-iter eval solve:
-    # the vmapped dynamic_slice window copy was never the bottleneck). Kept
-    # unit-tested as the documented alternative; not wired in.
+    # Preferred TPU path: the scalar-prefetch kernel with PER-TILE adaptive
+    # depth. Each tile fetches only the ceil(run/tm) map blocks its key span
+    # ±trim actually needs (block-aligned cover of [start, end) — exactness
+    # within trim unchanged); beyond-need grid steps alias the previous
+    # block (DMA elided) and skip the distance compute. The fixed-window
+    # variant pays the worst tile's window on EVERY tile; on smooth
+    # real-world distributions the mean needed run is well under the max, so
+    # the VPU (the bottleneck at these shapes) does proportionally less
+    # work. Fallback to dense if any tile's need exceeds the static budget.
+    if use_pallas and qt_sorted is not None:
+        tm_a = next(
+            (tt for tt in (1024, 512, 256, 128)
+             if M % tt == 0 and window % tt == 0), None)
+        if tm_a is not None:
+            nk_a = window // tm_a
+            # clamp: a tile whose span lies beyond every key would index
+            # block M/tm (searchsorted returns M) — keep it in range.
+            start_blk = jnp.clip(
+                start_needed // tm_a, 0, M // tm_a - 1).astype(jnp.int32)
+            end_blk = ((end_needed + tm_a - 1) // tm_a).astype(jnp.int32)
+            nblk = jnp.where(lo <= hi, end_blk - start_blk, 1)
+            nblk = jnp.clip(nblk, 1, None).astype(jnp.int32)
+            max_nblk = jnp.max(nblk)
+            P8 = jnp.pad(p, ((0, 0), (0, 0), (0, 5)))
+
+            def adaptive_path(args):
+                P8, qt, q3, sb, nb = args
+                return _nn_stripe_pallas(
+                    P8, qt, sb, tn=tn, tm=tm_a, nk=nk_a, nblk=nb)
+
+            def dense_path_a(args):
+                P8, qt, q3, sb, nb = args
+                return dense(P8[..., :3], q3)
+
+            idx, d2 = jax.lax.cond(
+                max_nblk <= nk_a, adaptive_path, dense_path_a,
+                (P8, qt_sorted, q_sorted[..., :3], start_blk, nblk),
+            )
+            return idx[:, :N].astype(jnp.int32), d2[:, :N]
+
+    # NOTE: an earlier fixed-depth scalar-prefetch variant (every tile
+    # walking the full static window at a dynamic offset) measured
+    # association-exact but NO faster than the window-copy path on v5e
+    # (380 vs 355 ms on the 50-iter eval solve: the vmapped dynamic_slice
+    # window copy was never the bottleneck — the VPU compute is). The
+    # adaptive-depth path above is the version that actually cuts compute.
 
     # Density-adaptive window tiers: the needed run per tile is
     # ≈ M · (tile key span + 2·trim) / map span — usually far below the

@@ -414,3 +414,85 @@ def test_motion_gated_refresh_through_stripe():
     Ta = np.asarray(icp(src, target, T0, cfg=cfg_a)["T"])
     Tb = np.asarray(icp(src, target, T0, cfg=cfg_b)["T"])
     np.testing.assert_allclose(Tb[:, :3, 3], Ta[:, :3, 3], atol=2e-3)
+
+
+def test_nn_stripe_adaptive_depth_matches_blocked():
+    """Per-tile adaptive-depth prefetch kernel: with nblk[b, t] covering each
+    tile's true span (block-aligned), skipped beyond-need blocks must not
+    change the result — indices/distances equal the dense blocked kernel."""
+    from mm_masking_tpu.ops.pallas.nn_assoc import (
+        _nn_stripe_pallas,
+        coord_major,
+    )
+
+    rng = np.random.default_rng(23)
+    B, N, M, tn, tm = 2, 128, 1024, 32, 128
+    trim = 2.0
+    # Non-uniform density along the key axis: tiles need very different runs.
+    q = np.zeros((B, M, 3), np.float32)
+    half = M // 2
+    q[:, :half, 0] = np.sort(rng.uniform(-50, -20, (B, half)), axis=1)  # sparse
+    q[:, half:, 0] = np.sort(rng.uniform(20, 24, (B, half)), axis=1)    # dense
+    q[..., 1] = rng.uniform(-4, 4, (B, M))
+    qs = np.sort(q[..., 0], axis=1)
+    q[..., 0] = qs  # globally sorted by x
+    p = np.zeros((B, N, 3), np.float32)
+    p[..., 0] = np.sort(rng.uniform(-48, 23, (B, N)), axis=1)
+    p[..., 1] = rng.uniform(-4, 4, (B, N))
+
+    T = N // tn
+    nk = 8  # static budget = whole map; per-tile nblk must stay below it
+    key_t = p[..., 0].reshape(B, T, tn)
+    lo = key_t.min(axis=2) - trim
+    hi = key_t.max(axis=2) + trim
+    start_needed = np.stack([np.searchsorted(q[b, :, 0], lo[b]) for b in range(B)])
+    end_needed = np.stack([np.searchsorted(q[b, :, 0], hi[b]) for b in range(B)])
+    start_blk = (start_needed // tm).astype(np.int32)
+    nblk = np.clip(-(-end_needed // tm) - start_blk, 1, None).astype(np.int32)
+    assert nblk.max() <= nk, "test setup must fit the block budget"
+    assert nblk.min() < nblk.max(), "test must exercise varying depths"
+
+    P8 = jnp.pad(jnp.asarray(p), ((0, 0), (0, 0), (0, 5)))
+    idx_s, d2_s = _nn_stripe_pallas(
+        P8, coord_major(jnp.asarray(q)), jnp.asarray(start_blk),
+        tn=tn, tm=tm, nk=nk, interpret=True, nblk=jnp.asarray(nblk),
+    )
+    idx_b, d2_b = nn_argmin_blocked(jnp.asarray(p), jnp.asarray(q))
+    # within-trim associations must be identical (beyond trim both answers
+    # are weighted to zero by the GN step)
+    within = np.asarray(d2_b) < trim * trim
+    assert (np.asarray(idx_s) == np.asarray(idx_b))[within].all()
+    np.testing.assert_allclose(np.asarray(d2_s)[within],
+                               np.asarray(d2_b)[within], atol=1e-3)
+
+
+def test_stripe_presorted_adaptive_pallas_interpret():
+    """Integration: nn_argmin_stripe_presorted's adaptive TPU path (forced
+    via use_pallas + interpret-capable kernels is NOT available on CPU, so
+    drive the block-math helper directly): block-aligned covers derived from
+    searchsorted must cover every tile's needed run."""
+    from mm_masking_tpu.ops.pallas.nn_assoc import stripe_sort_target
+
+    rng = np.random.default_rng(29)
+    B, N, M = 2, 192, 1024
+    q = np.zeros((B, M, 3), np.float32)
+    q[..., 0] = rng.uniform(-40, 40, (B, M))
+    q[..., 1] = rng.uniform(-8, 8, (B, M))
+    p = np.asarray(q[:, :N] + 0.05, np.float64).astype(np.float32)
+    q_sorted, key_sorted, use_x = stripe_sort_target(jnp.asarray(q))
+    tn, tm, trim = 64, 128, 5.0
+    p_key = np.where(np.asarray(use_x)[:, None], p[..., 0], p[..., 1])
+    order = np.argsort(p_key, axis=1)
+    p_s = np.take_along_axis(p, order[..., None], axis=1)
+    T = N // tn
+    key_t = np.take_along_axis(p_key, order, axis=1).reshape(B, T, tn)
+    lo, hi = key_t.min(2) - trim, key_t.max(2) + trim
+    ks = np.asarray(key_sorted)
+    start_needed = np.stack([np.searchsorted(ks[b], lo[b]) for b in range(B)])
+    end_needed = np.stack([np.searchsorted(ks[b], hi[b]) for b in range(B)])
+    start_blk = start_needed // tm
+    end_blk = -(-end_needed // tm)
+    # block cover property: [start_blk·tm, end_blk·tm) ⊇ [start_needed, end_needed)
+    assert (start_blk * tm <= start_needed).all()
+    assert (end_blk * tm >= end_needed).all()
+    assert (end_blk * tm <= M).all()
