@@ -1,5 +1,7 @@
 from mm_masking_tpu.localization.pipeline import (
     LocalizationConfig,
+    localize_cloud_sequence,
+    localize_clouds,
     localize_frame,
     localize_sequence,
     localize_sequence_to_traj,
@@ -8,6 +10,8 @@ from mm_masking_tpu.localization.pipeline import (
 
 __all__ = [
     "LocalizationConfig",
+    "localize_cloud_sequence",
+    "localize_clouds",
     "localize_frame",
     "localize_sequence",
     "localize_sequence_to_traj",

@@ -172,10 +172,16 @@ def cmd_localize(args) -> int:
             f"pt2pl localization needs (M, 6) — build it with `teach` or the "
             f"converter, or pass --icp-type pt2pt"
         )
+    if map_pc.shape[-1] < 6:
+        # pt2pt map without normals: pad zero normals so project_map's
+        # z-normal read and the pipeline's (M, 6) contract hold.
+        map_pc = np.concatenate([map_pc, np.zeros_like(map_pc)], axis=-1)
     cfg = LocalizationConfig(detector=args.detector,
                              max_points=args.max_points,
                              icp_type=args.icp_type,
-                             normal_threshold=args.normal_threshold)
+                             normal_threshold=args.normal_threshold,
+                             min_matched_ratio=args.min_matched_ratio,
+                             nn_refresh_dist=args.nn_refresh_dist)
 
     if kind == "radar":
         frames = _load_radar_frames(paths)
@@ -183,39 +189,20 @@ def cmd_localize(args) -> int:
             frames, jnp.asarray(map_pc), stamps, args.out_traj, cfg=cfg,
             batch_size=args.batch_size,
         )
-        n_ok = int(np.sum(np.asarray(out["ok"])))
     else:
-        # Shard clouds: skip the detector, register clouds directly.
-        from mm_masking_tpu.dicp import ICPConfig, icp
-        from mm_masking_tpu.localization.pipeline import project_map
+        # Converter shards: pre-extracted clouds skip the detector but run
+        # the SAME registration pipeline (map projection, two-phase ICP,
+        # matched-ratio gate) via localize_cloud_sequence.
+        from mm_masking_tpu.localization import localize_cloud_sequence
 
         clouds = _load_shard_clouds(paths, args.max_points)
-        F = clouds.shape[0]
-        icp_cfg = ICPConfig(icp_type=args.icp_type, max_iterations=50,
-                            differentiable=False)
-        Ts = []
-        bs = args.batch_size
-        if map_pc.shape[-1] < 6:  # pt2pt map without normals
-            map_pc = np.concatenate(
-                [map_pc, np.zeros_like(map_pc)], axis=-1
-            )
-        map_b = jnp.broadcast_to(jnp.asarray(map_pc)[None], (bs,) + map_pc.shape)
-        map_b = project_map(map_b, cfg)
-        for s in range(0, F, bs):
-            chunk = clouds[s:s + bs]
-            n = chunk.shape[0]
-            if n < bs:
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], bs - n, axis=0)]
-                )
-            T = icp(jnp.asarray(chunk), map_b,
-                    jnp.broadcast_to(jnp.eye(4), (bs, 4, 4)),
-                    cfg=icp_cfg)["T"]
-            Ts.append(np.asarray(T)[:n])
-        T_map_loc = np.concatenate(Ts)
-        write_traj_file(args.out_traj, list(np.asarray(se3_inv(T_map_loc))),
-                        stamps)
-        n_ok = F
+        out = localize_cloud_sequence(
+            clouds, jnp.asarray(map_pc), cfg=cfg,
+            batch_size=args.batch_size,
+        )
+        T_loc_map = np.asarray(se3_inv(out["T"]))
+        write_traj_file(args.out_traj, list(T_loc_map), stamps)
+    n_ok = int(np.sum(np.asarray(out["ok"])))
     print(f"localize: {len(stamps)} frames ({n_ok} matched-ratio ok) "
           f"→ {args.out_traj}")
 
@@ -254,6 +241,13 @@ def main(argv=None) -> int:
     common.add_argument("--normal-threshold", type=float, default=0.5,
                         help="|z-normal| map-projection gate "
                              "(radar_lidar_config.yaml:248)")
+    common.add_argument("--min-matched-ratio", type=float, default=0.0,
+                        help="matched-ratio gate for 'ok' frames "
+                             "(radar_lidar_config.yaml localization_icp)")
+    common.add_argument("--nn-refresh-dist", type=float, default=0.0,
+                        help="motion-gated NN refresh (m) in the refined "
+                             "ICP; 0 = search every iteration (reference "
+                             "semantics), 0.05 = measured speed knob")
 
     t = sub.add_parser("teach", parents=[common],
                        help="odometry + map building (run_test.sh odometry)")

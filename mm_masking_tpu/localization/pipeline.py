@@ -19,6 +19,7 @@ the mesh keeps every chip busy (replaces the reference's 6-way bash fan-out).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -57,8 +58,9 @@ class LocalizationConfig:
     motion_undistort: bool = False
     az_time_to_sec: float = 1e-9  # az_times unit (load_radar emits ns)
     # Motion-gated NN refresh in the refined (while-loop) ICP; see
-    # ICPConfig.nn_refresh_dist. 0 = search every iteration.
-    nn_refresh_dist: float = 0.05
+    # ICPConfig.nn_refresh_dist. 0 (default) = search every iteration —
+    # reference semantics; bench/eval paths opt into 0.05 explicitly.
+    nn_refresh_dist: float = 0.0
 
 
 def project_map(map_pc: jax.Array, cfg: LocalizationConfig) -> jax.Array:
@@ -85,35 +87,28 @@ def project_map(map_pc: jax.Array, cfg: LocalizationConfig) -> jax.Array:
     return out
 
 
-def localize_frame(
-    fft: jax.Array,
-    azimuths: jax.Array,
-    az_times: jax.Array,
+def localize_clouds(
+    pc: jax.Array,
     map_pc: jax.Array,
     T_init: jax.Array,
     cfg: LocalizationConfig = LocalizationConfig(),
+    pc_times: jax.Array | None = None,
     velocity: jax.Array | None = None,
     yaw_rate: jax.Array | None = None,
-    weight_mask: jax.Array | None = None,
-    mask_cart_resolution: float = 0.2384,
-    mask_cart_width: int = 640,
+    weights: jax.Array | None = None,
 ) -> dict[str, Any]:
-    """Batched single-frame localization.
+    """Register extracted clouds against a map (the back half of
+    :func:`localize_frame`, shared with pre-extracted converter-shard input).
 
-    fft (B, A, R) raw polar power; azimuths/az_times (B, A); map_pc (B, M, 6)
-    with normals, already in (or near) the scan frame; T_init (B, 4, 4).
-    Returns {'T', 'points', 'weights', 'matched_ratio', 'ok'}.
+    pc (B, N, 3) zero-padded scan clouds; map_pc (B, M, 6) with normals
+    (zero normals for pt2pt); T_init (B, 4, 4). Optional Doppler/motion
+    correction when velocity (and pc_times) are given. Returns
+    {'T', 'points', 'weights', 'matched_ratio', 'ok'}.
     """
-    det_kwargs = dict(cfg.detector_kwargs)
-    mask = detect(cfg.detector, fft, cfg.radar_resolution, **det_kwargs)
-    pc, pc_times = extract_pc(
-        mask, cfg.radar_resolution, azimuths, az_times,
-        max_points=cfg.max_points, diff=False, return_times=True,
-    )
     if cfg.beta > 0.0 and velocity is not None:
         ray = jnp.arctan2(pc[..., 1], pc[..., 0])
         pc = doppler_shift(pc, ray, velocity, beta=cfg.beta)
-    if cfg.motion_undistort and velocity is not None:
+    if cfg.motion_undistort and velocity is not None and pc_times is not None:
         from mm_masking_tpu.ops.detectors import motion_undistort
 
         wz = (
@@ -126,12 +121,7 @@ def localize_frame(
         )
 
     valid = ~((pc[..., 0] == 0.0) & (pc[..., 1] == 0.0))
-    if weight_mask is not None:
-        weights, _ = extract_weights(
-            weight_mask, pc, cart_resolution=mask_cart_resolution,
-            cart_pixel_width=mask_cart_width,
-        )
-    else:
+    if weights is None:
         weights = valid.astype(pc.dtype)
 
     map_proj = project_map(map_pc, cfg)
@@ -180,10 +170,91 @@ def localize_frame(
     }
 
 
+def localize_frame(
+    fft: jax.Array,
+    azimuths: jax.Array,
+    az_times: jax.Array,
+    map_pc: jax.Array,
+    T_init: jax.Array,
+    cfg: LocalizationConfig = LocalizationConfig(),
+    velocity: jax.Array | None = None,
+    yaw_rate: jax.Array | None = None,
+    weight_mask: jax.Array | None = None,
+    mask_cart_resolution: float = 0.2384,
+    mask_cart_width: int = 640,
+) -> dict[str, Any]:
+    """Batched single-frame localization from raw polar scans.
+
+    fft (B, A, R) raw polar power; azimuths/az_times (B, A); map_pc (B, M, 6)
+    with normals, already in (or near) the scan frame; T_init (B, 4, 4).
+    Detector + peak extraction front end, then :func:`localize_clouds`.
+    Returns {'T', 'points', 'weights', 'matched_ratio', 'ok'}.
+    """
+    det_kwargs = dict(cfg.detector_kwargs)
+    mask = detect(cfg.detector, fft, cfg.radar_resolution, **det_kwargs)
+    pc, pc_times = extract_pc(
+        mask, cfg.radar_resolution, azimuths, az_times,
+        max_points=cfg.max_points, diff=False, return_times=True,
+    )
+    weights = None
+    if weight_mask is not None:
+        weights, _ = extract_weights(
+            weight_mask, pc, cart_resolution=mask_cart_resolution,
+            cart_pixel_width=mask_cart_width,
+        )
+    return localize_clouds(
+        pc, map_pc, T_init, cfg=cfg, pc_times=pc_times,
+        velocity=velocity, yaw_rate=yaw_rate, weights=weights,
+    )
+
+
 _localize_frame_jit = jax.jit(
     localize_frame,
     static_argnames=("cfg", "mask_cart_resolution", "mask_cart_width"),
 )
+_localize_clouds_jit = jax.jit(localize_clouds, static_argnames=("cfg",))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _localize_sequence_fused(fft, az, azt, map_b, T0, cfg):
+    """All chunks in ONE device program: `lax.map` over the chunk axis.
+
+    Replaces the per-chunk Python dispatch loop (a host→device round-trip
+    per chunk through the axon tunnel, ~3 ms each, plus a full host sync at
+    the final concatenate) with a single dispatch + single sync — the
+    device pipelines chunk k+1 while chunk k's results are still in flight.
+    fft (C, B, A, R); az/azt (C, B, A); map_b (B, M, 6) shared; T0 (C, B, 4, 4).
+    """
+
+    def body(chunk):
+        f, a, t, T = chunk
+        return localize_frame(f, a, t, map_b, T, cfg=cfg)
+
+    return jax.lax.map(body, (fft, az, azt, T0))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _localize_clouds_fused(pc, map_b, T0, cfg):
+    """Fused chunked cloud registration; see `_localize_sequence_fused`."""
+
+    def body(chunk):
+        p, T = chunk
+        return localize_clouds(p, map_b, T, cfg=cfg)
+
+    return jax.lax.map(body, (pc, T0))
+
+
+def _pad_chunk(arrays, F: int, batch_size: int):
+    """Pad each (F, ...) array to a batch multiple (repeating the last frame)
+    and reshape to (n_chunks, batch_size, ...)."""
+    pad = (-F) % batch_size
+
+    def prep(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+        return x.reshape((-1, batch_size) + x.shape[1:])
+
+    return tuple(prep(x) for x in arrays), pad
 
 
 def localize_sequence(
@@ -202,7 +273,9 @@ def localize_sequence(
     (F, A), 'az_times' (F, A)} or a list of per-frame dicts (stacked here).
     Frames are independent, so they ride the *batch* axis — chunks of
     ``batch_size`` frames per device program, optionally sharded over a data
-    mesh so every chip localizes its own slice.
+    mesh so every chip localizes its own slice. Without a mesh, every chunk
+    runs inside ONE fused program (`lax.map` over chunks: one dispatch, one
+    sync); with a mesh, chunks are sharded and dispatched per chunk.
 
     Returns a dict of stacked results over all F frames
     ({'T', 'points', 'weights', 'matched_ratio', 'ok'}).
@@ -227,8 +300,20 @@ def localize_sequence(
         T_inits = jnp.broadcast_to(jnp.eye(4), (F, 4, 4))
     if map_pc.ndim == 2:
         map_pc = map_pc[None]
+    map_b = jnp.broadcast_to(map_pc, (batch_size,) + map_pc.shape[1:])
+
+    if mesh is None:
+        (fft, az, azt, T0), _ = _pad_chunk(
+            (frames["fft"], frames["azimuths"], frames["az_times"], T_inits),
+            F, batch_size)
+        out = _localize_sequence_fused(fft, az, azt, map_b, T0, cfg=cfg)
+        return jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:])[:F], out)
+
+    from mm_masking_tpu.parallel.mesh import shard_batch
 
     pad = (-F) % batch_size
+
     def pad_f(x):
         return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)]) if pad else x
 
@@ -236,17 +321,65 @@ def localize_sequence(
     az = pad_f(frames["azimuths"])
     azt = pad_f(frames["az_times"])
     T0 = pad_f(T_inits)
-    map_b = jnp.broadcast_to(map_pc, (batch_size,) + map_pc.shape[1:])
-
     chunks = []
     for s in range(0, F + pad, batch_size):
-        args = (fft[s : s + batch_size], az[s : s + batch_size],
-                azt[s : s + batch_size], map_b, T0[s : s + batch_size])
-        if mesh is not None:
-            from mm_masking_tpu.parallel.mesh import shard_batch
-
-            args = shard_batch(args, mesh)
+        args = shard_batch(
+            (fft[s : s + batch_size], az[s : s + batch_size],
+             azt[s : s + batch_size], map_b, T0[s : s + batch_size]), mesh)
         chunks.append(_localize_frame_jit(*args, cfg=cfg))
+    out = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:F], *chunks)
+    return out
+
+
+def localize_cloud_sequence(
+    clouds,
+    map_pc,
+    cfg: LocalizationConfig = LocalizationConfig(),
+    T_inits=None,
+    batch_size: int = 8,
+    mesh=None,
+):
+    """Localize a sequence of pre-extracted clouds (e.g. converter shards,
+    `data/convert.py` `filt_pc`) against one map — the same registration,
+    matched-ratio gating, and chunk batching as :func:`localize_sequence`,
+    minus the detector front end (clouds are already extracted).
+
+    clouds (F, N, 3) zero-padded; map_pc (M, 3|6) or (1, M, 3|6) — a
+    3-column map gets zero normals appended (pt2pt). Returns the stacked
+    result dict ({'T', 'points', 'weights', 'matched_ratio', 'ok'}).
+    """
+    clouds = jnp.asarray(clouds)
+    F = clouds.shape[0]
+    if T_inits is None:
+        T_inits = jnp.broadcast_to(jnp.eye(4), (F, 4, 4))
+    map_pc = jnp.asarray(map_pc)
+    if map_pc.ndim == 2:
+        map_pc = map_pc[None]
+    if map_pc.shape[-1] < 6:
+        map_pc = jnp.concatenate(
+            [map_pc, jnp.zeros_like(map_pc)], axis=-1)
+    map_b = jnp.broadcast_to(map_pc, (batch_size,) + map_pc.shape[1:])
+
+    if mesh is None:
+        (pc, T0), _ = _pad_chunk((clouds, T_inits), F, batch_size)
+        out = _localize_clouds_fused(pc, map_b, T0, cfg=cfg)
+        return jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:])[:F], out)
+
+    from mm_masking_tpu.parallel.mesh import shard_batch
+
+    pad = (-F) % batch_size
+
+    def pad_f(x):
+        return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)]) if pad else x
+
+    pc = pad_f(clouds)
+    T0 = pad_f(T_inits)
+    chunks = []
+    for s in range(0, F + pad, batch_size):
+        args = shard_batch(
+            (pc[s : s + batch_size], map_b, T0[s : s + batch_size]), mesh)
+        chunks.append(_localize_clouds_jit(*args, cfg=cfg))
     out = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:F], *chunks)
     return out
 

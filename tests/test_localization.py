@@ -206,3 +206,67 @@ def test_localize_sequence_mesh_equals_single_device():
     assert out_l["T"].shape[0] == 8
     np.testing.assert_allclose(np.asarray(out_l["T"]), np.asarray(out1["T"]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_localize_cloud_sequence_matches_frame_path():
+    """Pre-extracted clouds routed through localize_cloud_sequence must
+    produce the same poses as the frame path produces from the same clouds
+    (same registration back end: project_map → two-phase ICP → gate), and
+    the matched-ratio gate must be computed, not assumed."""
+    from mm_masking_tpu.localization import (
+        localize_cloud_sequence,
+        localize_clouds,
+    )
+
+    b = synthetic_batch(7, batch=5, spec=SPEC)
+    cfg = LocalizationConfig(
+        detector="modified_cacfar",
+        detector_kwargs=(("width", 21), ("guard", 2), ("maxr", 15.0)),
+        radar_resolution=SPEC.res, max_points=256, beta=0.0,
+        icp_type="pt2pl", refined_max_iter=8, min_matched_ratio=0.3,
+    )
+    clouds = b["loc_data"]["filtered_pc"][..., :3]
+    map_pc = b["map_data"]["pc"][:1]
+    T0 = b["transforms"]["T_ml_init"]
+
+    # direct batched call = oracle
+    ref = localize_clouds(
+        jnp.asarray(clouds), jnp.broadcast_to(map_pc, (5,) + map_pc.shape[1:]),
+        jnp.asarray(T0), cfg=cfg)
+    # chunked sequence driver (odd batch_size forces padding)
+    out = localize_cloud_sequence(clouds, map_pc, cfg=cfg, T_inits=T0,
+                                  batch_size=2)
+    np.testing.assert_allclose(np.asarray(out["T"]), np.asarray(ref["T"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["matched_ratio"]),
+                               np.asarray(ref["matched_ratio"]),
+                               rtol=1e-5, atol=1e-5)
+    # on-structure scenes must actually match; the gate is real
+    assert float(np.asarray(out["matched_ratio"]).min()) > 0.0
+    assert out["ok"].shape == (5,)
+
+    # a 3-column map (pt2pt, no normals) must not crash: zero normals padded
+    cfg_pt = LocalizationConfig(
+        radar_resolution=SPEC.res, max_points=256, beta=0.0,
+        icp_type="pt2pt", refined_max_iter=4, normal_threshold=1.0)
+    out3 = localize_cloud_sequence(clouds, map_pc[..., :3], cfg=cfg_pt,
+                                   T_inits=T0, batch_size=4)
+    assert out3["T"].shape == (5, 4, 4)
+
+
+def test_matched_ratio_gate_fails_on_wrong_map():
+    """Frames registered against a far-away map must FAIL the gate — `ok`
+    reflects the computed matched ratio (the CLI prints this count)."""
+    from mm_masking_tpu.localization import localize_cloud_sequence
+
+    b = synthetic_batch(9, batch=3, spec=SPEC)
+    clouds = b["loc_data"]["filtered_pc"][..., :3]
+    wrong_map = np.asarray(b["map_data"]["pc"][:1]).copy()
+    valid = ~np.all(wrong_map[..., :3] == 0.0, axis=-1)
+    wrong_map[..., 0] += 500.0 * valid  # shift real points far away
+    cfg = LocalizationConfig(
+        radar_resolution=SPEC.res, max_points=256, beta=0.0,
+        icp_type="pt2pl", refined_max_iter=4, min_matched_ratio=0.5)
+    out = localize_cloud_sequence(clouds, jnp.asarray(wrong_map), cfg=cfg,
+                                  batch_size=3)
+    assert not bool(np.asarray(out["ok"]).any())
