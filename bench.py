@@ -13,14 +13,18 @@ PyTorch pipeline measured on this host at the SAME shapes and batch sizes
 (bench_baseline.json, with provenance; the reference repo ships no numbers of
 its own — BASELINE.md).
 
-Set BENCH_FULL=1 to additionally time the batch-128 production point and all
-five BASELINE.json configs (adds several compile-minutes; the headline run
-stays lean for the driver and prints its JSON the moment the two reference
-measurements land).
+The default run measures the headline (two reference-shape steps) FIRST,
+then the batch-128 production point and all five BASELINE.json configs —
+with a persistent compile cache the whole sweep fits the budget, and the
+official record finally carries config-level perf (VERDICT r3 #5). Set
+BENCH_LEAN=1 to stop after the headline (old behavior). BENCH_FULL=1 is
+accepted as a no-op alias for the default.
 
 A wall-clock budget guard (BENCH_BUDGET_S, default 1320 s) emits the JSON
-with whatever phases completed if measurement overruns — the official record
-must never be an empty timeout (round-2 lesson: BENCH_r02 rc=124/parsed null).
+with whatever phases completed if measurement overruns — once the headline
+numbers land the record stays status "ok" and only the config sweep is
+marked truncated; the official record must never be an empty timeout
+(round-2 lesson: BENCH_r02 rc=124/parsed null).
 """
 from __future__ import annotations
 
@@ -57,7 +61,11 @@ def emit():
 
 
 def _on_budget(signum, frame):  # pragma: no cover - timing dependent
-    RESULT["detail"]["status"] = "budget_exceeded_partial"
+    if RESULT["detail"].get("status") == "ok":
+        # Headline complete — only the config sweep was cut short.
+        RESULT["detail"]["full_phase"] = "budget_truncated"
+    else:
+        RESULT["detail"]["status"] = "budget_exceeded_partial"
     emit()
     os._exit(0)
 
@@ -136,6 +144,7 @@ def main():
     # sin-rot — five orders of magnitude inside the 1 cm / 0.05° parity budget.
     cfg = Config(
         model=ModelConfig(dropout=0.05, max_iter=10, inference_max_iter=50,
+                          nn_refresh_dist=0.05,  # speed knob: bench opts in
                           dtype="bfloat16"),
         train=TrainConfig(batch_size_train=batch_train,
                           batch_size_test=batch_eval),
@@ -214,11 +223,11 @@ def main():
             RESULT["vs_baseline"] = round(combined / ref_combined, 3)
 
     detail["status"] = "ok"
-    if not os.environ.get("BENCH_FULL"):
-        # Headline path for the driver: print now, exit clean. Everything
-        # below costs extra compiles and runs only on manual BENCH_FULL runs.
+    if os.environ.get("BENCH_LEAN"):
+        # Headline-only mode: print now, exit clean.
         emit()
         return
+    detail["full_phase"] = "incomplete"
 
     # Production operating point: the headline above keeps the reference's
     # batch sizes (16/32) for round-to-round comparability, but this chip's
@@ -227,6 +236,7 @@ def main():
     # with remat'd conv blocks the SAME model trains 2.5x faster per sample.
     prod_cfg = Config(
         model=ModelConfig(dropout=0.05, max_iter=10, inference_max_iter=50,
+                          nn_refresh_dist=0.05,  # speed knob: bench opts in
                           dtype="bfloat16", remat=True),
         train=TrainConfig(batch_size_train=128, batch_size_test=64),
     )
@@ -255,7 +265,7 @@ def main():
                 "the reference's 16/32",
     }
 
-    if True:  # BENCH_FULL continues: the five BASELINE.json configs.
+    if True:  # full phase continues: the five BASELINE.json configs.
         from mm_masking_tpu.evaluation import baselines as bl
 
         detail["configs"] = {}
@@ -307,7 +317,7 @@ def main():
             "az_times": loc["loc_data"]["az_times"],
         }
         map_pc = loc["map_data"]["pc"][:1]
-        loc_cfg = LocalizationConfig(max_points=n_scan)
+        loc_cfg = LocalizationConfig(max_points=n_scan, nn_refresh_dist=0.05)
         t = time_fn(
             lambda: localize_sequence(frames, map_pc, cfg=loc_cfg,
                                       batch_size=batch_eval),
@@ -317,6 +327,7 @@ def main():
             "ms_per_64_frames": round(t * 1e3, 2),
             "frames_per_sec": round(64 / t, 2)}
 
+    detail["full_phase"] = "ok"
     emit()
 
 
