@@ -212,7 +212,6 @@ _localize_frame_jit = jax.jit(
     localize_frame,
     static_argnames=("cfg", "mask_cart_resolution", "mask_cart_width"),
 )
-_localize_clouds_jit = jax.jit(localize_clouds, static_argnames=("cfg",))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -275,7 +274,8 @@ def localize_sequence(
     ``batch_size`` frames per device program, optionally sharded over a data
     mesh so every chip localizes its own slice. Without a mesh, every chunk
     runs inside ONE fused program (`lax.map` over chunks: one dispatch, one
-    sync); with a mesh, chunks are sharded and dispatched per chunk.
+    sync); with a mesh, the SAME fused program runs with each chunk's batch
+    axis sharded over the devices.
 
     Returns a dict of stacked results over all F frames
     ({'T', 'points', 'weights', 'matched_ratio', 'ok'}).
@@ -310,25 +310,21 @@ def localize_sequence(
         return jax.tree.map(
             lambda x: x.reshape((-1,) + x.shape[2:])[:F], out)
 
-    from mm_masking_tpu.parallel.mesh import shard_batch
+    # Sharded: the SAME fused program, with each chunk's batch axis spread
+    # over the mesh (axis 1 of the (C, B, …) stacking) and the map
+    # replicated — GSPMD runs the lax.map body SPMD, so the fused
+    # one-dispatch/one-sync structure survives sharding (previously this
+    # path dispatched per chunk from Python).
+    from mm_masking_tpu.parallel.mesh import shard_axis, shard_batch
 
-    pad = (-F) % batch_size
-
-    def pad_f(x):
-        return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)]) if pad else x
-
-    fft = pad_f(frames["fft"])
-    az = pad_f(frames["azimuths"])
-    azt = pad_f(frames["az_times"])
-    T0 = pad_f(T_inits)
-    chunks = []
-    for s in range(0, F + pad, batch_size):
-        args = shard_batch(
-            (fft[s : s + batch_size], az[s : s + batch_size],
-             azt[s : s + batch_size], map_b, T0[s : s + batch_size]), mesh)
-        chunks.append(_localize_frame_jit(*args, cfg=cfg))
-    out = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:F], *chunks)
-    return out
+    (fft, az, azt, T0), _ = _pad_chunk(
+        (frames["fft"], frames["azimuths"], frames["az_times"], T_inits),
+        F, batch_size)
+    with mesh:
+        fft, az, azt, T0 = shard_axis((fft, az, azt, T0), mesh, axis=1)
+        map_b = shard_batch(map_b, mesh)
+        out = _localize_sequence_fused(fft, az, azt, map_b, T0, cfg=cfg)
+    return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:])[:F], out)
 
 
 def localize_cloud_sequence(
@@ -366,22 +362,16 @@ def localize_cloud_sequence(
         return jax.tree.map(
             lambda x: x.reshape((-1,) + x.shape[2:])[:F], out)
 
-    from mm_masking_tpu.parallel.mesh import shard_batch
+    # Sharded: fused program with the batch axis spread over the mesh (see
+    # localize_sequence's mesh branch).
+    from mm_masking_tpu.parallel.mesh import shard_axis, shard_batch
 
-    pad = (-F) % batch_size
-
-    def pad_f(x):
-        return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)]) if pad else x
-
-    pc = pad_f(clouds)
-    T0 = pad_f(T_inits)
-    chunks = []
-    for s in range(0, F + pad, batch_size):
-        args = shard_batch(
-            (pc[s : s + batch_size], map_b, T0[s : s + batch_size]), mesh)
-        chunks.append(_localize_clouds_jit(*args, cfg=cfg))
-    out = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:F], *chunks)
-    return out
+    (pc, T0), _ = _pad_chunk((clouds, T_inits), F, batch_size)
+    with mesh:
+        pc, T0 = shard_axis((pc, T0), mesh, axis=1)
+        map_b = shard_batch(map_b, mesh)
+        out = _localize_clouds_fused(pc, map_b, T0, cfg=cfg)
+    return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:])[:F], out)
 
 
 def localize_sequence_to_traj(

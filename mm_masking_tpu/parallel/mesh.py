@@ -55,3 +55,27 @@ def replicate(tree, mesh: Mesh):
     """Device-put a pytree fully replicated over the mesh."""
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_axis(tree, mesh: Mesh, axis: int = 1, axis_name: str = "data"):
+    """Device-put a pytree with dimension ``axis`` sharded over the mesh.
+
+    The chunked-sequence runners batch frames as (n_chunks, batch, …) and
+    run ONE fused program over the chunk axis — sharding the *batch* axis
+    (axis=1) lets that single program stay fused while every chip localizes
+    its own slice of each chunk. Leaves whose target dimension is missing
+    or doesn't divide the mesh are replicated (GSPMD still computes the
+    correct global result).
+    """
+    n = mesh.shape[axis_name]
+    repl = replicated(mesh)
+
+    def put(x):
+        shape = getattr(x, "shape", ())
+        if len(shape) > axis and shape[axis] % n == 0:
+            spec = [None] * len(shape)
+            spec[axis] = axis_name
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(put, tree)
