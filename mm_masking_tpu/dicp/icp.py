@@ -82,12 +82,22 @@ class ICPConfig:
     # `nn_refresh_range`); the cached indices are reused and only the cheap
     # GN update runs. Late tolerance-limited iterations (deltas at the f32
     # noise floor, far below any motion that could change a nearest
-    # neighbor) then cost ~nothing. Accuracy: sub-threshold motion can still
+    # neighbor) then cost ~nothing. The gate is PER BATCH ITEM: each item
+    # re-associates only when ITS accumulated motion crosses the threshold,
+    # so converged items stop paying the O(N·M) search even while others in
+    # the batch still move (inside the adaptive stripe kernel their tiles
+    # skip both DMA and compute). Accuracy: sub-threshold motion can still
     # flip the NN of a point sitting near a Voronoi boundary between two map
     # points, so this is an approximation, not exact — the deviation vs
     # always-associate is bounded empirically by tests at ≤1 mm / ≤0.005° on
-    # converging scenes (test_icp.py::test_nn_refresh_matches_always_search),
-    # and the solver re-associates the moment motion exceeds the threshold.
+    # well-conditioned converging scenes
+    # (test_icp.py::test_nn_refresh_matches_always_search). On scenes with
+    # flat/sliding minima (dense walls + sensor noise) or non-converging
+    # solves, the two variants can settle in different basins cm-to-dm
+    # apart — the same divergence class as changing the reduction order
+    # (both results are converged solver outputs; gating often converges
+    # FASTER because stale-but-stable associations damp NN-flip
+    # oscillation). Parity-critical paths must keep 0.
     nn_refresh_dist: float = 0.0
     nn_refresh_range: float = 80.0  # worst-case point radius for rotation
 
@@ -443,9 +453,10 @@ def icp(
     )
 
     def eff_motion(delta):
+        # Per-item worst-case point displacement of this GN update.
         trans = jnp.linalg.norm(delta[:, :3], axis=-1)
         rot = jnp.linalg.norm(delta[:, 3:], axis=-1)
-        return jnp.max(trans + cfg.nn_refresh_range * rot)
+        return trans + cfg.nn_refresh_range * rot  # (B,)
 
     def cond2(state):
         T, it, dn, idx, moved = state
@@ -460,9 +471,23 @@ def icp(
                        precision="highest")
             + T[:, None, :3, 3]
         )
-        need = jnp.logical_or(it == 0, moved >= cfg.nn_refresh_dist)
+        # PER-ITEM gate: each batch item re-associates only when ITS pose
+        # has moved ≥ nn_refresh_dist since its last search. Items that have
+        # converged (or merely jitter below the gate) stop paying the
+        # O(N·M) search even while other items in the batch still move —
+        # the stripe kernel skips their tiles entirely (nblk = 0); other
+        # association paths recompute and the select below discards it.
+        need = jnp.logical_or(it == 0, moved >= cfg.nn_refresh_dist)  # (B,)
+
+        def do_assoc(_):
+            if assoc_fn is not None:
+                idx_new, _d = assoc_fn(p, refresh=need)
+            else:
+                idx_new, _d = default_assoc(p)
+            return jnp.where(need[:, None], idx_new, idx0)
+
         idx = jax.lax.cond(
-            need, lambda _: default_assoc(p)[0], lambda _: idx0, None
+            jnp.any(need), do_assoc, lambda _: idx0, None
         )
         T_new, delta = step(T, idx=idx)
         moved_new = jnp.where(need, 0.0, moved) + eff_motion(delta)
@@ -473,7 +498,7 @@ def icp(
         jnp.int32(0),
         jnp.full((B,), jnp.inf, T_init.dtype),
         jnp.zeros((B, N), jnp.int32),
-        jnp.asarray(jnp.inf, T_init.dtype),
+        jnp.full((B,), jnp.inf, T_init.dtype),
     )
     T_final, n_iter, dn, _, _ = jax.lax.while_loop(cond2, wbody2, init2)
     return {"T": T_final, "iterations": n_iter, "delta_norm": dn}

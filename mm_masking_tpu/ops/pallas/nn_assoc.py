@@ -330,8 +330,11 @@ def _nn_stripe_pallas(
 
     def qmap(b, t, k, sb, nb):
         # Alias beyond-need steps to the last needed block: the repeated
-        # index elides the DMA and @pl.when skips the compute.
-        return (b, 0, sb[b, t] + jnp.minimum(k, nb[b, t] - 1))
+        # index elides the DMA and @pl.when skips the compute. The outer
+        # max keeps the index valid for fully-skipped tiles (nb == 0, the
+        # per-item refresh gate) — their compute is skipped entirely and
+        # the caller discards their outputs.
+        return (b, 0, sb[b, t] + jnp.maximum(jnp.minimum(k, nb[b, t] - 1), 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -374,8 +377,17 @@ def nn_argmin_stripe_presorted(
     tn: int = 256,
     use_pallas: bool | None = None,
     qt_sorted: jax.Array | None = None,
+    refresh: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Stripe NN for scan rows already GROUPED by key (see module comment).
+
+    refresh: optional (B,) bool — per-item association gate (the solver's
+    motion-gated refresh). Items with ``refresh == False`` have their ENTIRE
+    association skipped in the adaptive kernel (nblk forced to 0: every grid
+    step's DMA aliases and the compute is predicated off), and their
+    returned idx/d2 are GARBAGE — the caller must keep its cached values
+    for them. Non-adaptive fallback paths ignore the gate (full recompute;
+    the caller's select still yields the same result).
 
     Exactness does not require p to be sorted: each tile's window is derived
     from the min/max of that tile's CURRENT keys, so any fixed row grouping
@@ -440,7 +452,15 @@ def nn_argmin_stripe_presorted(
             (tt for tt in (1024, 512, 256, 128)
              if M % tt == 0 and window % tt == 0), None)
         if tm_a is not None:
-            nk_a = window // tm_a
+            # +1: a block-ALIGNED cover of a run of length w spans up to
+            # ceil(w/tm)+1 blocks (the run can straddle a block boundary on
+            # both ends), so the static budget needs one block beyond
+            # window/tm — otherwise any max-window tile trips the dense
+            # fallback and the whole solve silently runs O(N·M) every
+            # search (measured: eval step 567 ms vs 370 ms at bench shapes,
+            # where max run 3353 needs 5 blocks of 1024 against a budget
+            # of 4).
+            nk_a = window // tm_a + 1
             # clamp: a tile whose span lies beyond every key would index
             # block M/tm (searchsorted returns M) — keep it in range.
             start_blk = jnp.clip(
@@ -448,6 +468,9 @@ def nn_argmin_stripe_presorted(
             end_blk = ((end_needed + tm_a - 1) // tm_a).astype(jnp.int32)
             nblk = jnp.where(lo <= hi, end_blk - start_blk, 1)
             nblk = jnp.clip(nblk, 1, None).astype(jnp.int32)
+            if refresh is not None:
+                # Per-item gate: skipped items do no association at all.
+                nblk = jnp.where(refresh[:, None], nblk, 0)
             max_nblk = jnp.max(nblk)
             P8 = jnp.pad(p, ((0, 0), (0, 0), (0, 5)))
 

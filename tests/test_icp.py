@@ -496,3 +496,41 @@ def test_stripe_presorted_adaptive_pallas_interpret():
     assert (start_blk * tm <= start_needed).all()
     assert (end_blk * tm >= end_needed).all()
     assert (end_blk * tm <= M).all()
+
+
+def test_nn_stripe_per_item_gate_interpret():
+    """Per-item refresh gate: items with nblk == 0 skip ALL association
+    (outputs are the init sentinels — inf distance, index 0) while other
+    items' results are untouched and still match the blocked kernel."""
+    from mm_masking_tpu.ops.pallas.nn_assoc import (
+        _nn_stripe_pallas,
+        coord_major,
+    )
+
+    rng = np.random.default_rng(31)
+    B, N, M, tn, tm, nk = 2, 128, 1024, 32, 128, 8
+    q = np.zeros((B, M, 3), np.float32)
+    q[..., 0] = np.sort(rng.uniform(-40, 40, (B, M)), axis=1)
+    q[..., 1] = rng.uniform(-4, 4, (B, M))
+    p = np.zeros((B, N, 3), np.float32)
+    p[..., 0] = np.sort(rng.uniform(-38, 38, (B, N)), axis=1)
+    p[..., 1] = rng.uniform(-4, 4, (B, N))
+
+    T = N // tn
+    start_blk = np.zeros((B, T), np.int32)
+    nblk = np.full((B, T), nk, np.int32)
+    nblk[0, :] = 0  # item 0 gated off
+
+    P8 = jnp.pad(jnp.asarray(p), ((0, 0), (0, 0), (0, 5)))
+    idx_s, d2_s = _nn_stripe_pallas(
+        P8, coord_major(jnp.asarray(q)), jnp.asarray(start_blk),
+        tn=tn, tm=tm, nk=nk, interpret=True, nblk=jnp.asarray(nblk),
+    )
+    idx_b, d2_b = nn_argmin_blocked(jnp.asarray(p), jnp.asarray(q))
+    # gated item: deterministic sentinels
+    assert np.isinf(np.asarray(d2_s)[0]).all()
+    assert (np.asarray(idx_s)[0] == 0).all()
+    # ungated item: full-depth exact
+    np.testing.assert_array_equal(np.asarray(idx_s)[1], np.asarray(idx_b)[1])
+    np.testing.assert_allclose(np.asarray(d2_s)[1], np.asarray(d2_b)[1],
+                               atol=1e-3)
