@@ -264,6 +264,9 @@ def main():
         "note": "same model, throughput-optimal batches; headline keeps "
                 "the reference's 16/32",
     }
+    # Free the b128 state/batches before the config sweep — keeping them
+    # live OOMs the 640² b32 train-step compile later in the sweep.
+    del prod_trainer, prod_state, tb128, eb64
 
     if True:  # full phase continues: the five BASELINE.json configs.
         from mm_masking_tpu.evaluation import baselines as bl
@@ -284,6 +287,7 @@ def main():
                     iters=4)
         detail["configs"]["2_cacfar_constant_icp"] = {
             "ms": round(t * 1e3, 2), "pairs_per_sec": round(batch_eval / t, 2)}
+        del polar_batch
         # 3: learned mask + weighted ICP end to end (== eval step sans stats).
         t = time_fn(
             lambda: bl.config3_learned_mask_icp(

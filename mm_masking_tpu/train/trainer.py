@@ -15,6 +15,8 @@ per-epoch checkpoints → final best validation) with the torch loop replaced by
 """
 from __future__ import annotations
 
+import dataclasses
+import os
 import time
 from typing import Any, Callable, Iterable, NamedTuple
 
@@ -355,6 +357,11 @@ class Trainer:
         num_epochs = num_epochs or cfg.train.num_epochs
         ckpt_dir = cfg.train.checkpoint_dir
 
+        # The reference registers the full params dict with the experiment
+        # tracker at run init (`train_icp_weights.py:354`); mirror that via
+        # the optional uploader (no-op without MM_UPLOAD_URL).
+        log.uploader.log_params(log.run_name, dataclasses.asdict(cfg))
+
         t0 = time.time()
         tr_init, tr_ones = self.generate_baseline(
             state, train_batches_fn(0), baseline_type="train"
@@ -421,4 +428,10 @@ class Trainer:
         )
         log.log("final_val", {"norm": float(err[0]), "rot": float(err[1]),
                               "trans": float(err[2])})
+        # The reference ships the checkpoint files to the tracker at the end
+        # of the run (`train_icp_weights.py:579` upload_files); here the best
+        # checkpoint dir goes through the same optional uploader.
+        best_dir = os.path.join(ckpt_dir, "best_policy")
+        if log.uploader.enabled and os.path.isdir(best_dir):
+            log.uploader.upload_dir(log.run_name, best_dir)
         return state
