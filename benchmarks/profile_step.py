@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import os.path as osp
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -26,19 +25,10 @@ from mm_masking_tpu.utils.cache import enable_compile_cache
 
 enable_compile_cache()
 
-
-def _force(out):
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    return float(jnp.sum(leaf.astype(jnp.float32)))
-
-
-def timeit(fn, *args, n=6, warmup=2):
-    for _ in range(warmup):
-        _force(fn(*args))
-    tic = time.perf_counter()
-    for _ in range(n):
-        _force(fn(*args))
-    return (time.perf_counter() - tic) / n * 1e3
+# Pipelined timing (round 4): the previous per-iteration forced readback
+# added one tunnel RTT (3-30 ms, session-dependent) to every step; numbers
+# in docs/BENCH_DETAIL.md predating the r4 re-measure include it.
+from benchmarks.timing import measure_rtt, timeit  # noqa: E402
 
 
 def main():
@@ -62,7 +52,8 @@ def main():
     tb = shard_batch(synthetic_batch(0, batch=bt, spec=spec), trainer.mesh)
     eb = shard_batch(synthetic_batch(1, batch=be, spec=spec), trainer.mesh)
 
-    print(f"device={jax.devices()[0]} shapes n_scan={n_scan} n_map={n_map}")
+    print(f"device={jax.devices()[0]} shapes n_scan={n_scan} n_map={n_map} "
+          f"tunnel_rtt={measure_rtt():.1f} ms")
 
     # --- full steps (bench.py headline) --------------------------------
     t = timeit(lambda: trainer._train_step(state, tb, mask_losses_active=True))
