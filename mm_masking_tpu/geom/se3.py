@@ -64,7 +64,12 @@ def so3_exp(phi: jax.Array) -> jax.Array:
     K = hat3(phi)
     K2 = jnp.matmul(K, K, precision='highest')
     a = jnp.where(small, 1.0 - sq / 6.0, jnp.sin(theta) / theta)[..., None, None]
-    b = jnp.where(small, 0.5 - sq / 24.0, (1.0 - jnp.cos(theta)) / safe_sq)[
+    # (1 - cos t)/t^2 via 2 sin^2(t/2)/t^2: the raw form loses ALL bits in
+    # f32 for t in [1e-4, ~5e-4] (cos rounds to 1 -> b = 0 instead of 0.5,
+    # which deletes the J's K/2 term); the half-angle form is stable down to
+    # the Taylor branch.
+    half_sin = jnp.sin(0.5 * theta)
+    b = jnp.where(small, 0.5 - sq / 24.0, 2.0 * half_sin * half_sin / safe_sq)[
         ..., None, None
     ]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
@@ -100,7 +105,9 @@ def so3_left_jacobian(phi: jax.Array) -> jax.Array:
     sq, safe_sq, theta, small = _theta_terms(phi)
     K = hat3(phi)
     K2 = jnp.matmul(K, K, precision='highest')
-    b = jnp.where(small, 0.5 - sq / 24.0, (1.0 - jnp.cos(theta)) / safe_sq)[
+    # stable half-angle form — see so3_exp for the f32 dead-zone rationale
+    half_sin = jnp.sin(0.5 * theta)
+    b = jnp.where(small, 0.5 - sq / 24.0, 2.0 * half_sin * half_sin / safe_sq)[
         ..., None, None
     ]
     c = jnp.where(
@@ -112,15 +119,25 @@ def so3_left_jacobian(phi: jax.Array) -> jax.Array:
 
 def so3_left_jacobian_inv(phi: jax.Array) -> jax.Array:
     """Inverse left Jacobian of SO(3)."""
-    sq, safe_sq, theta, small = _theta_terms(phi)
+    sq, safe_sq, theta, _ = _theta_terms(phi)
     K = hat3(phi)
     K2 = jnp.matmul(K, K, precision='highest')
     half = jnp.asarray(0.5, phi.dtype)
-    # coefficient (1/theta^2)(1 - theta sin(theta)/(2(1-cos(theta))))
+    # coefficient (1/theta^2)(1 - theta sin(theta)/(2(1-cos(theta)))).
+    # The trig form catastrophically cancels in f32: its numerator is
+    # O(theta^2/12) while the 1-cos(theta) rounding error injects
+    # O(eps/theta^2) — NaN below theta ≈ 5e-4 (cos rounds to exactly 1) and
+    # noise up to theta ≈ 0.1. Use the Taylor branch below theta = 0.1 for
+    # ALL dtypes (3-term truncation there ~8e-13, far below f32 eps and
+    # below every parity budget) and guard the untaken branch's denominator
+    # so reverse-mode gradients stay finite at the identity.
+    small = sq < 0.01
+    one_minus_cos = 1.0 - jnp.cos(theta)
+    denom = jnp.where(small, jnp.ones_like(one_minus_cos), 2.0 * one_minus_cos)
     cot_term = jnp.where(
         small,
-        1.0 / 12.0 + sq / 720.0,
-        (1.0 - theta * jnp.sin(theta) / (2.0 * (1.0 - jnp.cos(theta)))) / safe_sq,
+        1.0 / 12.0 + sq / 720.0 + sq * sq / 30240.0,
+        (1.0 - theta * jnp.sin(theta) / denom) / safe_sq,
     )[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
     return eye - half * K + cot_term * K2

@@ -100,3 +100,26 @@ def test_so3_log_small_angle():
     phi = jnp.array([1e-6, -2e-6, 3e-6])
     out = so3_log(so3_exp(phi))
     np.testing.assert_allclose(np.asarray(out), np.asarray(phi), atol=1e-9)
+
+
+def test_left_jacobian_inv_f32_dead_zone():
+    """Regression: for 1e-4 < theta < ~5e-4 the trig form of the inverse
+    left Jacobian divides by an f32-rounded (1 - cos) = 0 -> NaN (and stays
+    catastrophically noisy up to theta ~ 0.1). The Taylor branch must cover
+    the whole region: J^-1 J = I to f32 accuracy, no NaN, finite gradients
+    — the regime of se3_log on frame-to-frame odometry deltas."""
+    from mm_masking_tpu.geom import so3_left_jacobian, so3_left_jacobian_inv
+
+    for theta in (2e-4, 1e-3, 2e-2, 0.09, 0.11, 0.5):
+        phi = jnp.asarray([0.0, 0.0, theta], jnp.float32)
+        Jinv = so3_left_jacobian_inv(phi)
+        assert np.all(np.isfinite(np.asarray(Jinv))), theta
+        np.testing.assert_allclose(
+            np.asarray(Jinv @ so3_left_jacobian(phi)), np.eye(3),
+            atol=2e-6, err_msg=f"theta={theta}")
+    # se3_log of a small planar delta must round-trip (the NaN repro)
+    xi = jnp.asarray([6.8e-3, -8.5e-4, 0.0, 0.0, 0.0, 1.9e-4], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(se3_log(se3_exp(xi))), np.asarray(xi), atol=1e-7)
+    g = jax.grad(lambda p: jnp.sum(so3_left_jacobian_inv(p)))(jnp.zeros(3))
+    assert np.all(np.isfinite(np.asarray(g)))
