@@ -68,6 +68,13 @@ class ICPConfig:
     nn_stripe_window: int = 0
     nn_stripe_tile: int = 256
     damping: float = 1e-9  # Tikhonov floor keeping A invertible when weights die
+    # Trace-relative Levenberg floor added on top of `damping`:
+    # λ = damping + damping_rel · tr(A)/dof. Negligible (1e-7 relative) on a
+    # healthy system but keeps near-dead systems (all weights trimmed) from
+    # producing exploding steps. Set 0 for strict oracle parity (the torch
+    # oracle regularizes with a flat 1e-9·I only) — with it, mid-trajectory
+    # steps differ from the oracle at the ~1e-7-relative level per iteration.
+    damping_rel: float = 1e-7
     # Motion-prior information weight λ: adds λ‖log(T·T_prior⁻¹)‖² to the GN
     # objective (the discrete WNOA/STEAM trajectory-prior fusion the reference
     # runs inside its odometry ICP, `radar_config.yaml:160-188`). 0 = off;
@@ -100,6 +107,17 @@ class ICPConfig:
     # oscillation). Parity-critical paths must keep 0.
     nn_refresh_dist: float = 0.0
     nn_refresh_range: float = 80.0  # worst-case point radius for rotation
+    # How the planar GN update (dx, dy, dθ) is applied to the pose (dim=2
+    # only). "exp": T ← Exp([dx, dy, dθ]^) · T — the exact se(3)
+    # exponential, translation V(dθ)·(dx, dy). "direct": T ← Td · T with
+    # Td = [R(dθ) | (dx, dy)] — raw translation, the retraction classic
+    # torch ICP implementations (and the parity oracle,
+    # `benchmarks/reference_torch.py::torch_icp`) use. Both share the same
+    # fixed points (delta → 0 makes them identical), so converged results
+    # match exactly either way; mid-trajectory poses differ at second
+    # order, which is the entire 10-iteration pt2pt parity transient
+    # (test_solver_parity.py: exact at 10 iters under "direct").
+    planar_retraction: str = "exp"  # "exp" | "direct"
 
 
 def robust_weight(r_norm: jax.Array, name: str, k: float) -> jax.Array:
@@ -243,24 +261,33 @@ def _gn_step(
         sel = jnp.asarray(_PLANAR_DOF)
         A_sub = A[:, sel][:, :, sel]
         b_sub = b[:, sel]
-        # Trace-relative Levenberg floor: negligible (1e-7 relative) on a
-        # healthy system, keeps near-dead systems (all weights trimmed) from
-        # producing exploding steps.
+        # Trace-relative Levenberg floor (see ICPConfig.damping_rel).
         tr3 = (A_sub[:, 0, 0] + A_sub[:, 1, 1] + A_sub[:, 2, 2]) / 3.0
-        lam = cfg.damping + 1e-7 * tr3
+        lam = cfg.damping + cfg.damping_rel * tr3
         A_sub = A_sub + lam[:, None, None] * jnp.eye(3, dtype=A.dtype)
         d_sub = _solve3x3(A_sub, b_sub)
         delta = jnp.zeros((B, 6), A.dtype)
         delta = delta.at[:, sel].set(d_sub)
     else:
         tr6 = jnp.trace(A, axis1=-2, axis2=-1) / 6.0
-        lam = cfg.damping + 1e-7 * tr6
+        lam = cfg.damping + cfg.damping_rel * tr6
         A = A + lam[:, None, None] * jnp.eye(6, dtype=A.dtype)
         delta = jnp.linalg.solve(A, b[..., None])[..., 0]
     # A diverged item must not turn the whole composed pose chain NaN.
     delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
 
-    T_new = jnp.matmul(se3_exp(delta), T, precision="highest")
+    if cfg.dim == 2 and cfg.planar_retraction == "direct":
+        # Raw-translation planar retraction (see ICPConfig.planar_retraction).
+        dth = delta[:, 5]
+        c, s = jnp.cos(dth), jnp.sin(dth)
+        Td = jnp.zeros_like(T)
+        Td = Td.at[:, 0, 0].set(c).at[:, 0, 1].set(-s)
+        Td = Td.at[:, 1, 0].set(s).at[:, 1, 1].set(c)
+        Td = Td.at[:, 2, 2].set(1.0).at[:, 3, 3].set(1.0)
+        Td = Td.at[:, 0, 3].set(delta[:, 0]).at[:, 1, 3].set(delta[:, 1])
+        T_new = jnp.matmul(Td, T, precision="highest")
+    else:
+        T_new = jnp.matmul(se3_exp(delta), T, precision="highest")
     return T_new, delta
 
 

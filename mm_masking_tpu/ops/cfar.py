@@ -120,7 +120,7 @@ def extract_pc(
     diff: bool = True,
     steep_fact: float = 10.0,
     return_times: bool = False,
-) -> jax.Array:
+) -> jax.Array | tuple[jax.Array, jax.Array]:
     """Thresholded polar scan → fixed-size cartesian pointcloud (B, max_points, 3).
 
     Reference `extract_pc` (`radar_utils.py:71-106`): each detection blob

@@ -161,6 +161,48 @@ def test_pose_parity_vs_torch_oracle(f64, iters):
         )
 
 
+def test_pose_parity_direct_retraction_exact_at_10(f64):
+    """The 10-iteration pt2pt transient is ENTIRELY the retraction choice:
+    with `planar_retraction='direct'` (the oracle's raw-translation update,
+    `benchmarks/reference_torch.py:120-132`) the two solvers are
+    algorithmically identical and must match to f64 rounding even
+    mid-trajectory — closing the one non-exact row of the parity table."""
+    devs_t, devs_r = [], []
+    for seed in range(4):
+        src, mp, T0, w, _ = _make_batch(seed, B=32)
+        T_torch = (
+            torch_icp(
+                torch.tensor(src, dtype=torch.float64),
+                torch.tensor(mp, dtype=torch.float64),
+                torch.tensor(T0, dtype=torch.float64),
+                torch.tensor(w, dtype=torch.float64),
+                iters=10,
+            )
+            .numpy()
+        )
+        cfg = ICPConfig(
+            icp_type="pt2pt",
+            max_iterations=10,
+            differentiable=True,
+            trim_dist=5.0,
+            loss_name="cauchy",
+            loss_metric=1.0,
+            dim=2,
+            planar_retraction="direct",
+            damping=1e-9,
+            damping_rel=0.0,  # the oracle regularizes with flat 1e-9·I
+        )
+        T_jax = np.asarray(icp(src, mp, T0, weight=w, cfg=cfg)["T"])
+        dt, dr = _pose_dev(T_torch, T_jax)
+        devs_t.append(dt)
+        devs_r.append(dr)
+    max_t, max_r = max(devs_t), max(devs_r)
+    print(f"[parity direct iters=10] max dev: {max_t*100:.6f} cm, "
+          f"{np.degrees(max_r):.7f} deg over 128 pairs")
+    assert max_t <= 1e-6, f"direct-retraction 10-iter dev {max_t:.2e} m"
+    assert max_r <= 1e-8, f"direct-retraction 10-iter rot {max_r:.2e} rad"
+
+
 @pytest.mark.parametrize("iters", [10, 50])
 def test_pose_parity_pt2pl_vs_torch_oracle(f64, iters):
     """Point-to-plane branch (the radar→lidar eval solver,
