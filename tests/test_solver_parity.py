@@ -336,3 +336,55 @@ def test_gradient_parity_vs_torch_oracle(f64, iters):
         assert cos.min() > 0.9, f"gradient direction diverges: {cos.min()}"
         assert np.median(cos) > 0.999
         assert rel < 0.15, f"gradient relative L2 {rel:.4f} > 15%"
+
+
+def test_gradient_parity_direct_retraction_exact_at_10(f64):
+    """With the oracle-matching knobs (`planar_retraction='direct'`,
+    `damping_rel=0`) the forward computations are algorithmically identical,
+    so unrolled AD through 10 iterations must give IDENTICAL weight
+    gradients — the training-distribution counterpart of the exact
+    mid-trajectory pose parity (closes the transient question entirely)."""
+    src_np, mp_np, T0_np, w_np, Tgt_np = _make_batch(7, B=16)
+
+    def loss_torch(w):
+        T = torch_icp(
+            torch.tensor(src_np, dtype=torch.float64),
+            torch.tensor(mp_np, dtype=torch.float64),
+            torch.tensor(T0_np, dtype=torch.float64),
+            w,
+            iters=10,
+        )
+        Tgt = torch.tensor(Tgt_np, dtype=torch.float64)
+        dt = T[:, :2, 3] - Tgt[:, :2, 3]
+        dR = torch.einsum("bij,bkj->bik", T[:, :2, :2], Tgt[:, :2, :2])
+        dth = torch.atan2(dR[:, 1, 0], dR[:, 0, 0])
+        return (dt.square().sum(-1) + dth.square()).sum()
+
+    wt = torch.tensor(w_np, dtype=torch.float64, requires_grad=True)
+    loss_torch(wt).backward()
+    g_torch = wt.grad.numpy()
+
+    cfg = ICPConfig(icp_type="pt2pt", max_iterations=10,
+                    differentiable=True, trim_dist=5.0, loss_name="cauchy",
+                    loss_metric=1.0, dim=2,
+                    planar_retraction="direct", damping=1e-9, damping_rel=0.0)
+
+    def loss_jax(w):
+        import jax.numpy as jnp
+
+        T = icp(src_np, mp_np, T0_np, weight=w, cfg=cfg)["T"]
+        Tgt = jnp.asarray(Tgt_np)
+        dt = T[:, :2, 3] - Tgt[:, :2, 3]
+        dR = jnp.einsum("bij,bkj->bik", T[:, :2, :2], Tgt[:, :2, :2])
+        dth = jnp.arctan2(dR[:, 1, 0], dR[:, 0, 0])
+        return ((dt ** 2).sum(-1) + dth ** 2).sum()
+
+    g_jax = np.asarray(jax.grad(loss_jax)(w_np))
+    cos = np.sum(g_torch * g_jax, -1) / (
+        np.linalg.norm(g_torch, axis=-1) * np.linalg.norm(g_jax, axis=-1)
+    )
+    rel = np.linalg.norm(g_torch - g_jax) / np.linalg.norm(g_torch)
+    print(f"[grad parity direct iters=10] min cos {cos.min():.9f}, "
+          f"rel L2 {rel:.2e}")
+    assert cos.min() > 1 - 1e-9
+    assert rel < 1e-8, f"gradient relative L2 {rel:.2e}"
