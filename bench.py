@@ -164,11 +164,41 @@ def icp_iter_flops(B: int, N: int, M: int) -> float:
     return 8.0 * B * N * M
 
 
+def _backend_reachable(timeout_s: float = 300.0) -> bool:
+    """Probe device init in a subprocess with a hard timeout.
+
+    The axon tunnel can wedge such that ``jax.devices()`` blocks forever
+    inside a C call (observed when an earlier client was SIGTERM'd mid-init:
+    the pool keeps its grant). A blocked C call never returns control to the
+    interpreter, so even the SIGALRM budget guard cannot fire — the only
+    robust guard is a separate process the parent can abandon. The driver's
+    bench record must always be one parseable JSON line, never a hang."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     from mm_masking_tpu.config import Config, ModelConfig, TrainConfig
     from mm_masking_tpu.data.synthetic import SyntheticSpec, synthetic_batch
     from mm_masking_tpu.parallel import make_mesh, shard_batch
     from mm_masking_tpu.train import Trainer
+
+    if not os.environ.get("BENCH_SKIP_PROBE") and not _backend_reachable():
+        RESULT["detail"]["status"] = "backend_unreachable"
+        RESULT["detail"]["note"] = (
+            "jax device init did not complete within the probe timeout — "
+            "tunnel/backend wedged; no measurement possible this run"
+        )
+        emit()
+        return
 
     n_scan, n_map = 4096, 16384  # DataConfig defaults = reference cloud scale
     spec = SyntheticSpec(n_scan=n_scan, n_map=n_map)
