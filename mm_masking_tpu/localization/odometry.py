@@ -240,9 +240,8 @@ class TeachPass:
 
         Requires every `process` call to have carried a `stamp_us`. Returns
         (T_world_robot (4, 4), body twist (6,) in units/sec) at the query
-        time, clamped to the processed span. Knot twists come from the CT
-        solve's own within-scan estimate when available, else from central
-        differences of the pose sequence.
+        time, clamped to the processed span. Knot twists are estimated by
+        central differences of the pose sequence (`body_twists_from_trajectory`).
         """
         from mm_masking_tpu.geom.gp_interp import interpolate_trajectory
 
