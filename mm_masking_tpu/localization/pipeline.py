@@ -353,7 +353,9 @@ def localize_cloud_sequence(
         map_pc = map_pc[None]
     if map_pc.shape[-1] < 6:
         map_pc = jnp.concatenate(
-            [map_pc, jnp.zeros_like(map_pc)], axis=-1)
+            [map_pc,
+             jnp.zeros(map_pc.shape[:-1] + (6 - map_pc.shape[-1],),
+                       map_pc.dtype)], axis=-1)
     map_b = jnp.broadcast_to(map_pc, (batch_size,) + map_pc.shape[1:])
 
     if mesh is None:
