@@ -171,6 +171,29 @@ def _load_map(path: str) -> np.ndarray:
     return load_pc_from_file(path)
 
 
+def cmd_datagen(args) -> int:
+    from mm_masking_tpu.localization.datagen import (
+        DatagenConfig,
+        generate_pair,
+    )
+
+    cfg = DatagenConfig(
+        detector=args.detector,
+        max_points=args.max_points,
+        batch_size=args.batch_size,
+        max_map_pts=args.max_map_pts,
+        voxel_size=args.voxel_size,
+        limit=args.limit,
+    )
+    for loc_seq in args.loc_seq:
+        generate_pair(
+            args.data_root, args.map_seq, loc_seq, cfg,
+            map_scan_dir=args.map_scans or None,
+            loc_scan_dir=args.loc_scans or None,
+        )
+    return 0
+
+
 def cmd_localize(args) -> int:
     import jax.numpy as jnp
 
@@ -296,6 +319,28 @@ def main(argv=None) -> int:
                    help="write the aligned GT trajectory here")
     l.add_argument("--stats", default="", help="write error stats JSON here")
     l.set_defaults(fn=cmd_localize)
+
+    g = sub.add_parser(
+        "datagen",
+        help="teach + repeat → training shards in one pass (the reference's "
+             "entire gen_data half: run_test.sh odometry + localization + "
+             "save_raw_point_cloud, with zero ROS)")
+    g.add_argument("--data-root", required=True,
+                   help="Boreas-style tree root (vtr_data/<seq>/...)")
+    g.add_argument("--map-seq", required=True)
+    g.add_argument("--loc-seq", required=True, nargs="+")
+    g.add_argument("--map-scans", default="",
+                   help="override teach scan dir (default "
+                        "<root>/vtr_data/<map-seq>/radar)")
+    g.add_argument("--loc-scans", default="",
+                   help="override repeat scan dir")
+    g.add_argument("--detector", default="modified_cacfar")
+    g.add_argument("--max-points", type=int, default=1024)
+    g.add_argument("--batch-size", type=int, default=8)
+    g.add_argument("--max-map-pts", type=int, default=16384)
+    g.add_argument("--voxel-size", type=float, default=0.5)
+    g.add_argument("--limit", type=int, default=-1)
+    g.set_defaults(fn=cmd_datagen)
 
     args = ap.parse_args(argv)
     return args.fn(args)
