@@ -178,6 +178,8 @@ def cmd_datagen(args) -> int:
     )
 
     cfg = DatagenConfig(
+        map_sensor=args.map_sensor,
+        loc_sensor=args.loc_sensor,
         detector=args.detector,
         max_points=args.max_points,
         batch_size=args.batch_size,
@@ -334,6 +336,12 @@ def main(argv=None) -> int:
                         "<root>/vtr_data/<map-seq>/radar)")
     g.add_argument("--loc-scans", default="",
                    help="override repeat scan dir")
+    g.add_argument("--map-sensor", default="radar",
+                   choices=("radar", "lidar"),
+                   help="teach sensor (lidar + radar loc = the reference's "
+                        "flagship radar_lidar configuration)")
+    g.add_argument("--loc-sensor", default="radar",
+                   choices=("radar", "lidar"))
     g.add_argument("--detector", default="modified_cacfar")
     g.add_argument("--max-points", type=int, default=1024)
     g.add_argument("--batch-size", type=int, default=8)

@@ -51,6 +51,11 @@ from mm_masking_tpu.dicp import TARGET_PAD_VAL
 
 @dataclasses.dataclass(frozen=True)
 class DatagenConfig:
+    # sensor pair → output branch: radar/radar → "radar",
+    # lidar/radar → "radar_lidar" (the reference's flagship configuration),
+    # lidar/lidar → "lidar" (`icp_weight_dataset.py` sensor_dir logic)
+    map_sensor: str = "radar"
+    loc_sensor: str = "radar"
     detector: str = "modified_cacfar"
     detector_kwargs: tuple = ()
     max_points: int = 1024
@@ -64,9 +69,22 @@ class DatagenConfig:
     limit: int = -1  # cap frames per sequence (<=0 = all)
 
 
-def _load_clouds_any(scan_dir: str, cfg: DatagenConfig):
+def _sensor_dir(cfg: DatagenConfig) -> str:
+    if cfg.map_sensor == "lidar" and cfg.loc_sensor == "radar":
+        return "radar_lidar"
+    if cfg.map_sensor == "radar" and cfg.loc_sensor == "radar":
+        return "radar"
+    if cfg.map_sensor == "lidar" and cfg.loc_sensor == "lidar":
+        return "lidar"
+    raise ValueError(
+        f"unsupported sensor pair {cfg.map_sensor}/{cfg.loc_sensor}"
+    )
+
+
+def _load_clouds_any(scan_dir: str, cfg: DatagenConfig, sensor: str):
     """(stamps, clouds (F, N, 3)) from a directory of raw Navtech scans
-    (detector extraction) or converter shards (pre-extracted clouds)."""
+    (detector extraction), lidar .bin dumps, or converter shards
+    (pre-extracted clouds)."""
     from mm_masking_tpu.localization import LocalizationConfig
     from mm_masking_tpu.localization.__main__ import (
         _extract_clouds,
@@ -76,11 +94,35 @@ def _load_clouds_any(scan_dir: str, cfg: DatagenConfig):
         _stamp_of,
     )
 
+    bins = sorted(
+        f for f in os.listdir(scan_dir) if f.endswith(".bin")
+    ) if sensor == "lidar" else []
+    if bins:
+        # Boreas lidar frames: float32 (N, 6) binaries
+        # (`radar_utils.py:10-18` layout). Subsample to the static cap.
+        from mm_masking_tpu.data.boreas import load_pc_from_file
+
+        if cfg.limit > 0:
+            bins = bins[: cfg.limit]
+        stamps = [int(osp.splitext(f)[0]) for f in bins]
+        rng = np.random.default_rng(0)
+        out = np.zeros((len(bins), cfg.max_points, 3), np.float32)
+        for i, f in enumerate(bins):
+            pc = load_pc_from_file(osp.join(scan_dir, f))[:, :3]
+            if pc.shape[0] > cfg.max_points:
+                pc = pc[rng.permutation(pc.shape[0])[: cfg.max_points]]
+            out[i, : pc.shape[0]] = pc
+        return stamps, out
+
     kind, paths = _scan_files(scan_dir)
     if cfg.limit > 0:
         paths = paths[: cfg.limit]
     stamps = [_stamp_of(p) for p in paths]
     if kind == "radar":
+        if sensor != "radar":
+            raise ValueError(
+                f"{scan_dir}: raw Navtech scans found but sensor={sensor}"
+            )
         loc_cfg = LocalizationConfig(
             detector=cfg.detector,
             detector_kwargs=tuple(cfg.detector_kwargs),
@@ -102,15 +144,14 @@ def generate_pair(
     cfg: DatagenConfig = DatagenConfig(),
     map_scan_dir: str | None = None,
     loc_scan_dir: str | None = None,
-    sensor: str = "radar",
     out_dir: str | None = None,
 ) -> dict:
     """Generate training shards for one (teach, repeat) sequence pair.
 
     Expects the Boreas-style tree the dataset reads
     (`<root>/vtr_data/<seq>/applanix/<sensor>_poses.csv`, `calib/`), with the
-    scans under `<root>/vtr_data/<seq>/<sensor>/` unless explicit scan
-    directories are given. Writes shards + index.json under
+    scans under `<root>/vtr_data/<seq>/<map|loc sensor>/` unless explicit
+    scan directories are given. Writes shards + index.json under
     `<root>/vtr_results/<sensor_dir>/<map_seq>/<loc_seq>/shards/` (the
     converter layout) and returns the index dict.
     """
@@ -119,16 +160,18 @@ def generate_pair(
     from mm_masking_tpu.localization.odometry import OdometryConfig, TeachPass
 
     dataset_dir = osp.join(root, "vtr_data")
-    map_scan_dir = map_scan_dir or osp.join(dataset_dir, map_seq, sensor)
-    loc_scan_dir = loc_scan_dir or osp.join(dataset_dir, loc_seq, sensor)
-    sensor_dir = "radar" if sensor == "radar" else "lidar"
+    map_scan_dir = map_scan_dir or osp.join(
+        dataset_dir, map_seq, cfg.map_sensor)
+    loc_scan_dir = loc_scan_dir or osp.join(
+        dataset_dir, loc_seq, cfg.loc_sensor)
     out_dir = out_dir or osp.join(
-        root, "vtr_results", sensor_dir, map_seq, loc_seq, "shards"
+        root, "vtr_results", _sensor_dir(cfg), map_seq, loc_seq, "shards"
     )
     os.makedirs(out_dir, exist_ok=True)
 
     # --- teach: odometry + map building over the map sequence -------------
-    map_stamps, map_clouds = _load_clouds_any(map_scan_dir, cfg)
+    map_stamps, map_clouds = _load_clouds_any(map_scan_dir, cfg,
+                                              cfg.map_sensor)
     teach = TeachPass(OdometryConfig(
         max_map_pts=cfg.max_map_pts,
         voxel_size=cfg.voxel_size,
@@ -143,11 +186,13 @@ def generate_pair(
 
     # --- GT + calib (the same files the dataset reads) ---------------------
     gt_map_poses, gt_map_times = read_traj_file_gt2(
-        osp.join(dataset_dir, map_seq, "applanix", sensor + "_poses.csv"),
+        osp.join(dataset_dir, map_seq, "applanix",
+                 cfg.map_sensor + "_poses.csv"),
         dim=2,
     )
     gt_loc_poses, gt_loc_times = read_traj_file_gt2(
-        osp.join(dataset_dir, loc_seq, "applanix", sensor + "_poses.csv"),
+        osp.join(dataset_dir, loc_seq, "applanix",
+                 cfg.loc_sensor + "_poses.csv"),
         dim=2,
     )
     gt_map_times = list(gt_map_times)
@@ -162,11 +207,13 @@ def generate_pair(
         keyframe_rows.append((k, st, gt_map_poses[gt_map_times.index(st)]))
     gt_loc_times = list(gt_loc_times)
 
-    T_msr = np.asarray(load_calib(osp.join(dataset_dir, map_seq), sensor))
+    T_msr = np.asarray(
+        load_calib(osp.join(dataset_dir, map_seq), cfg.map_sensor))
     T_msr_inv = np.asarray(get_inverse_tf(T_msr))
 
     # --- repeat: raw/filt clouds + per-frame map in the keyframe frame -----
-    loc_stamps, loc_clouds = _load_clouds_any(loc_scan_dir, cfg)
+    loc_stamps, loc_clouds = _load_clouds_any(loc_scan_dir, cfg,
+                                              cfg.loc_sensor)
     index = {"frames": [], "max_loc": 0, "max_map": 0}
     kf_xy = np.stack([p[:2, 3] for _, _, p in keyframe_rows])
     for i, stamp in enumerate(loc_stamps):

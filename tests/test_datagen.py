@@ -40,6 +40,24 @@ def _write_csv(path, rows):
             f.write(f"{t_us/1e6:.6f},{x},{y},0.0,0,0,0,0.0,0.0,{h}\n")
 
 
+def _write_raw_image(radar_dir, t_us, scan, rng):
+    """Raw Navtech byte image with bright returns at the scan points."""
+    fft = (0.05 * rng.random((A, R)) ** 2).astype(np.float32)
+    rr = np.linalg.norm(scan[:, :2], axis=-1)
+    aa = np.mod(np.arctan2(scan[:, 1], scan[:, 0]), 2 * np.pi)
+    ai = np.clip((aa / (2 * np.pi / A)).astype(int), 0, A - 1)
+    ri = np.clip((rr / RES).astype(int), 0, R - 2)
+    fft[ai, ri] = 0.8
+    img = np.zeros((A, 11 + R), np.uint8)
+    ts = np.arange(A, dtype=np.int64) * 400 + t_us * 1000
+    img[:, :8] = np.frombuffer(ts.tobytes(), np.uint8).reshape(A, 8)
+    enc = (np.arange(A, dtype=np.float64) / A * 5600).astype(np.uint16)
+    img[:, 8:10] = np.frombuffer(enc.tobytes(), np.uint8).reshape(A, 2)
+    img[:, 11:] = np.clip(fft * 255, 0, 255).astype(np.uint8)
+    radar_dir.mkdir(parents=True, exist_ok=True)
+    np.save(radar_dir / f"{t_us}.npy", img)
+
+
 @pytest.fixture(scope="module")
 def gen_root(tmp_path_factory):
     rng = np.random.default_rng(11)
@@ -81,25 +99,9 @@ def gen_root(tmp_path_factory):
             np.savez_compressed(d / f"frame_{t_us}.npz", filt_pc=s, raw_pc=s)
             scans[t_us] = s
             if raw_images:
-                # raw Navtech byte image with bright returns at the scan
-                # points (the dataset's fft path; load_radar must decode it)
-                fft = (0.05 * rng.random((A, R)) ** 2).astype(np.float32)
-                rr = np.linalg.norm(s[:, :2], axis=-1)
-                aa = np.mod(np.arctan2(s[:, 1], s[:, 0]), 2 * np.pi)
-                ai = np.clip((aa / (2 * np.pi / A)).astype(int), 0, A - 1)
-                ri = np.clip((rr / RES).astype(int), 0, R - 2)
-                fft[ai, ri] = 0.8
-                img = np.zeros((A, 11 + R), np.uint8)
-                ts = np.arange(A, dtype=np.int64) * 400 + t_us * 1000
-                img[:, :8] = np.frombuffer(ts.tobytes(), np.uint8).reshape(A, 8)
-                enc = (np.arange(A, dtype=np.float64) / A * 5600).astype(
-                    np.uint16)
-                img[:, 8:10] = np.frombuffer(enc.tobytes(),
-                                             np.uint8).reshape(A, 2)
-                img[:, 11:] = np.clip(fft * 255, 0, 255).astype(np.uint8)
-                radar_dir = root / "vtr_data" / LOC_SEQ / "radar"
-                radar_dir.mkdir(parents=True, exist_ok=True)
-                np.save(radar_dir / f"{t_us}.npy", img)
+                # the dataset's fft path; load_radar must decode it
+                _write_raw_image(root / "vtr_data" / LOC_SEQ / "radar",
+                                 t_us, s, rng)
         return scans
 
     write_scans(root / "scans_teach", teach_rows)
@@ -179,3 +181,100 @@ def test_dataset_trains_from_datagen_output(gen_root):
     batches = list(epoch_batches(ds, 2, cfg, shuffle=False))
     assert batches and np.isfinite(
         np.asarray(batches[0]["loc_data"]["fft_data"])).all()
+
+
+def test_radar_lidar_datagen(tmp_path):
+    """The flagship reference configuration: lidar teach map + radar
+    repeats → radar_lidar shards; the dataset's radar_lidar filter chain
+    (elevation + z-normal gates, `icp_weight_dataset.py:402-423`) keeps the
+    wall structure and drops the ground plane."""
+    from mm_masking_tpu.config import (
+        Config, DataConfig, ModelConfig, TrainConfig,
+    )
+    from mm_masking_tpu.data import ICPWeightDataset
+    from mm_masking_tpu.dicp import TARGET_PAD_VAL
+
+    rng = np.random.default_rng(3)
+    root = tmp_path
+    # 3D world: low walls (vertical faces, z in [0, 0.4]) + ground plane
+    nw, ng = 500, 300
+    t = rng.uniform(-8, 8, nw)
+    walls = np.zeros((nw, 3), np.float32)
+    walls[:, 0] = t
+    walls[:, 1] = np.where(t > 0, 5.0, -6.0)
+    walls[:, 2] = rng.uniform(0.0, 0.4, nw)
+    ground = np.zeros((ng, 3), np.float32)
+    ground[:, 0] = rng.uniform(-8, 8, ng)
+    ground[:, 1] = rng.uniform(-6, 5, ng)
+    world3d = np.concatenate([walls, ground])
+
+    teach_rows = [(1_000_000 + 250_000 * i, 0.4 * i, 0.0, 0.0)
+                  for i in range(3)]
+    loc_rows = [(2_000_000 + 250_000 * i, 0.2 + 0.2 * i, 0.05 * i, 0.01 * i)
+                for i in range(3)]
+    for seq, rows in ((MAP_SEQ, teach_rows), (LOC_SEQ, loc_rows)):
+        d = root / "vtr_data" / seq
+        (d / "applanix").mkdir(parents=True)
+        (d / "calib").mkdir()
+        np.savetxt(d / "calib" / "T_applanix_lidar.txt", np.eye(4))
+        np.savetxt(d / "calib" / "T_radar_lidar.txt", np.eye(4))
+        _write_csv(d / "applanix" / "lidar_poses.csv", rows)
+        _write_csv(d / "applanix" / "radar_poses.csv", rows)
+
+    # teach lidar frames: Boreas-style float32 (N, 6) .bin dumps
+    ldir = root / "vtr_data" / MAP_SEQ / "lidar"
+    ldir.mkdir()
+    for t_us, x, y, h in teach_rows:
+        Ti = get_inverse_tf(_pose(x, y, h))
+        s = (world3d @ Ti[:3, :3].T + Ti[:3, 3]).astype(np.float32)
+        s += rng.normal(0, 0.01, s.shape).astype(np.float32)
+        np.concatenate([s, np.zeros_like(s)], axis=1).astype(
+            np.float32).tofile(ldir / f"{t_us}.bin")
+
+    # repeat radar: planar wall footprints as pre-extracted cloud shards +
+    # raw Navtech images for the dataset's fft path
+    rdir = root / "scans_loc"
+    rdir.mkdir()
+    for t_us, x, y, h in loc_rows:
+        Ti = get_inverse_tf(_pose(x, y, h))
+        w2 = walls.copy()
+        w2[:, 2] = 0.0
+        s = (w2 @ Ti[:3, :3].T + Ti[:3, 3]).astype(np.float32)
+        s += rng.normal(0, 0.01, s.shape).astype(np.float32)
+        s[:, 2] = 0.0
+        np.savez_compressed(rdir / f"frame_{t_us}.npz", filt_pc=s, raw_pc=s)
+        _write_raw_image(root / "vtr_data" / LOC_SEQ / "radar", t_us, s, rng)
+
+    index = generate_pair(
+        str(root), MAP_SEQ, LOC_SEQ,
+        DatagenConfig(map_sensor="lidar", loc_sensor="radar",
+                      max_points=1024, max_map_pts=4096, voxel_size=0.3,
+                      batch_size=4),
+        loc_scan_dir=str(rdir),
+    )
+    assert len(index["frames"]) == len(loc_rows)
+    shard_dir = (root / "vtr_results" / "radar_lidar" / MAP_SEQ / LOC_SEQ
+                 / "shards")
+    z = np.load(shard_dir / index["frames"][0])
+    assert z["map_pc"].shape[1] == 6
+
+    cfg = Config(
+        model=ModelConfig(
+            enc_channels=(4, 8), dropout=0.0, res=RES, polar_shape=(A, R),
+            cart_pixel_width=64, cart_resolution=2 * 15.0 / 64,
+            max_iter=3, inference_max_iter=8,
+        ),
+        data=DataConfig(
+            map_sensor="lidar", loc_sensor="radar", data_dir=str(root),
+            pos_std=0.3, rot_std=0.1, max_loc_pts=1024, max_map_pts=4096,
+        ),
+        train=TrainConfig(batch_size_train=2, batch_size_test=2),
+    )
+    ds = ICPWeightDataset([(MAP_SEQ, LOC_SEQ)], cfg, "train")
+    item = ds[0]
+    mp = np.asarray(item["map_data"]["pc"])
+    real = np.abs(mp[:, 0]) < TARGET_PAD_VAL / 2
+    # the elevation/z-normal chain keeps a usable wall map
+    assert real.sum() > 50, int(real.sum())
+    # surviving normals are horizontal (walls), not ground
+    assert np.abs(mp[real, 5]).max() <= 0.9 + 1e-6
