@@ -119,6 +119,36 @@ def main():
         gi = jax.jit(jax.grad(loss))
         print(f"{'icp 10-iter fwd+bwd b16 ' + label:34s} {timeit(gi, w_t):8.1f} ms")
 
+        f10 = jax.jit(loss)
+        print(f"{'icp 10-iter fwd b16 ' + label:34s} {timeit(f10, w_t):8.1f} ms")
+
+    # --- the rest of the train-step margin -------------------------------
+    # extract_weights (gather) fwd and fwd+bwd at the train batch: the
+    # backward is a scatter-add into the (B, 640, 640) mask gradient.
+    from mm_masking_tpu.ops import extract_bev_from_pts, extract_weights
+    from mm_masking_tpu.train.loss import bce
+
+    raw_t = tb["loc_data"]["raw_pc"]
+    mask16 = jnp.ones((bt, 640, 640), jnp.float32) * 0.5
+
+    ew = jax.jit(lambda m, p: extract_weights(m, p)[0])
+    print(f"{'extract_weights fwd b16':34s} {timeit(ew, mask16, raw_t):8.1f} ms")
+    gew = jax.jit(jax.grad(
+        lambda m, p: jnp.sum(extract_weights(m, p)[0]), argnums=0))
+    print(f"{'extract_weights fwd+bwd b16':34s} {timeit(gew, mask16, raw_t):8.1f} ms")
+
+    # mask-loss images (3×BCE at 640² + the map-BEV scatter), grad wrt mask —
+    # the loss-side share of the train step.
+    fft_mask = (tb["loc_data"]["fft_data"] > 0.5).astype(jnp.float32)
+    cfar_img = tb["loc_data"]["fft_cfar"]
+
+    def mask_losses(m, t1=fft_mask, t2=cfar_img, mp=mapp_t):
+        bev = extract_bev_from_pts(mp[..., :3])
+        return bce(m, t1) + bce(m, t2) + bce(m, bev)
+
+    gm = jax.jit(jax.grad(mask_losses))
+    print(f"{'mask losses fwd+bwd b16':34s} {timeit(gm, mask16):8.1f} ms")
+
 
 if __name__ == "__main__":
     main()
