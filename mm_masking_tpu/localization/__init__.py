@@ -7,9 +7,15 @@ from mm_masking_tpu.localization.pipeline import (
     localize_sequence_to_traj,
     project_map,
 )
+from mm_masking_tpu.localization.odometry import OdometryConfig, TeachPass
+from mm_masking_tpu.localization.datagen import DatagenConfig, generate_pair
 
 __all__ = [
+    "DatagenConfig",
     "LocalizationConfig",
+    "OdometryConfig",
+    "TeachPass",
+    "generate_pair",
     "localize_cloud_sequence",
     "localize_clouds",
     "localize_frame",
