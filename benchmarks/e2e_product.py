@@ -1,0 +1,361 @@
+"""End-to-end PRODUCT demo: raw sensor files → datagen → training → eval.
+
+This drives the same loop a reference user runs across their whole stack —
+`run_test.sh odometry` + `localization` (VTR/ROS2 data generation), then
+`train_icp_weights.py` (`/root/reference/gen_data/run_test.sh:7-24`,
+`/root/reference/mm_masking/train_icp_weights.py:346-587`) — entirely
+in-process, from files on disk:
+
+  1. synthesize a Boreas-style tree: a 3D corridor world, teach-pass lidar
+     `.bin` frames, repeat-pass raw Navtech radar images (full polar
+     resolution) with MULTIPATH GHOST returns — dimmer secondary wall
+     reflections 1.5–3.5 m behind the true walls, inside ICP's trim_dist, so
+     unweighted ICP is coherently biased and the learned mask has real work
+     to do (same failure regime as the walls learning demo, but entering
+     through the raw-image product path instead of synthetic batches);
+  2. `localization.datagen.generate_pair` — lidar teach odometry + map,
+     radar repeats detector-extracted from the raw images, converter-schema
+     shards (the reference's flagship radar_lidar configuration);
+  3. `ICPWeightDataset` + `Trainer.fit` on those shards (full pipeline:
+     CFAR cache, augmentation, seed-99 perturbations, pt2pl ICP);
+  4. report learned val norm vs the init/ones baselines.
+
+Scales: --scale tiny (CPU smoke, ~minutes) | full (reference shapes:
+400×3360 polar, 640² cart, clouds 4096/16384 — run on the chip).
+
+Emits ONE summary JSON line on stdout; checkpoints + metrics land under
+results/checkpoints/<run>.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import os.path as osp
+import shutil
+import sys
+
+import numpy as np
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+# Honor JAX_PLATFORMS before any backend init: the axon TPU plugin registers
+# itself regardless of the env var (tests/conftest.py documents this) — only
+# the config call reliably pins the platform, and a wedged tunnel otherwise
+# hangs the whole script inside the first jax.devices().
+import jax  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+from mm_masking_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
+
+@dataclasses.dataclass(frozen=True)
+class Scale:
+    A: int = 400            # polar azimuths
+    R: int = 3360           # polar range bins
+    res: float = 0.0596
+    cart: int = 640
+    cart_res: float = 0.2384
+    n_teach: int = 36
+    n_train: int = 64
+    n_val: int = 32
+    max_loc_pts: int = 4096
+    max_map_pts: int = 16384
+    enc_channels: tuple = (8, 16, 32, 64, 128, 256)
+    batch_train: int = 16
+    batch_test: int = 32
+    epochs: int = 15
+    dtype: str = "bfloat16"
+    # Wall face height: must span several map voxels (0.3 m) or the kNN-PCA
+    # normal estimate degenerates to a line fit (measured at tiny scale:
+    # 58% of 0.4 m-wall points got vertical normals). The dataset's
+    # elevation gate (0.05 rad) passes z<=1.2 beyond ~24 m range — the
+    # corridor walls sit at >=21 m lateral distance at full scale.
+    wall_h: float = 1.2
+
+
+TINY = Scale(A=64, R=256, res=15.0 / 256, cart=64, cart_res=2 * 15.0 / 64,
+             n_teach=4, n_train=6, n_val=4, max_loc_pts=512,
+             max_map_pts=2048, enc_channels=(4, 8),
+             batch_train=2, batch_test=2, epochs=2, dtype="float32", wall_h=0.4)
+
+MAP_SEQ, TRAIN_SEQ, VAL_SEQ = "e2e-map", "e2e-train", "e2e-val"
+
+
+# --------------------------------------------------------------------- world
+def build_world(rng, sc: Scale):
+    """Corridor world: two long walls + perpendicular stubs + poles.
+
+    Returns (wall_pts_3d (Nw, 3) for lidar, wall segments [(p0, p1), ...] 2D
+    for radar rendering).
+    """
+    extent = sc.cart * sc.cart_res / 2 * 0.55  # stay inside the cart FOV
+    L = extent * 1.6
+    segs = [((-L / 4, -extent * 0.5), (L, -extent * 0.5)),
+            ((-L / 4, extent * 0.45), (L, extent * 0.45))]
+    # perpendicular stubs break the along-corridor translation ambiguity
+    for xs in np.linspace(0, L * 0.9, 5):
+        side = extent * 0.45 if int(xs * 7) % 2 else -extent * 0.5
+        segs.append(((xs, side), (xs, side * 0.55)))
+    pts = []
+    for (x0, y0), (x1, y1) in segs:
+        n = max(24, int(np.hypot(x1 - x0, y1 - y0) * 18))
+        t = rng.uniform(0, 1, n)
+        xy = np.stack([x0 + t * (x1 - x0), y0 + t * (y1 - y0)], -1)
+        z = rng.uniform(0.0, sc.wall_h, (n, 1))
+        pts.append(np.concatenate([xy, z], -1))
+    # poles (point landmarks)
+    npole = 12
+    px = rng.uniform(-L / 4, L, npole)
+    py = rng.uniform(-extent * 0.4, extent * 0.35, npole)
+    for x, y in zip(px, py):
+        z = rng.uniform(0.0, sc.wall_h, (20, 1))
+        xy = np.tile([[x, y]], (20, 1)) + rng.normal(0, 0.03, (20, 2))
+        pts.append(np.concatenate([xy, z], -1))
+        segs.append(((x, y), (x + 1e-3, y + 1e-3)))
+    wall3d = np.concatenate(pts).astype(np.float32)
+    # ground plane (lidar sees it; the dataset's z-normal gate must drop it)
+    ng = wall3d.shape[0] // 2
+    ground = np.stack([rng.uniform(-L / 4, L, ng),
+                       rng.uniform(-extent, extent, ng),
+                       np.zeros(ng)], -1).astype(np.float32)
+    return np.concatenate([wall3d, ground]), segs
+
+
+def _pose(x, y, h):
+    from mm_masking_tpu.data.boreas import yawPitchRollToRot
+
+    T = np.eye(4)
+    T[:3, :3] = yawPitchRollToRot(h, 0, 0)
+    T[:3, 3] = [x, y, 0.0]
+    return T
+
+
+def _write_csv(path, rows):
+    with open(path, "w") as f:
+        f.write("GPSTime,easting,northing,altitude,vel_e,vel_n,vel_u,"
+                "roll,pitch,heading\n")
+        for t_us, x, y, h in rows:
+            f.write(f"{t_us/1e6:.6f},{x},{y},0.0,0,0,0,0.0,0.0,{h}\n")
+
+
+def _render_radar(segs, T_world_sensor_inv, rng, sc: Scale, ghost_frac):
+    """Raw Navtech image: wall returns (bright) + multipath ghosts (dim,
+    1.5–3.5 m behind the wall — inside trim_dist, coherently biasing ICP)."""
+    A, R = sc.A, sc.R
+    fft = (0.05 * rng.random((A, R)) ** 2).astype(np.float32)
+
+    # sample wall returns in the sensor frame
+    pts = []
+    for (x0, y0), (x1, y1) in segs:
+        n = max(8, int(np.hypot(x1 - x0, y1 - y0) * 6))
+        t = rng.uniform(0, 1, n)
+        pts.append(np.stack([x0 + t * (x1 - x0), y0 + t * (y1 - y0)], -1))
+    w = np.concatenate(pts)
+    w3 = np.concatenate([w, np.zeros((w.shape[0], 1))], -1)
+    s = w3 @ T_world_sensor_inv[:3, :3].T + T_world_sensor_inv[:3, 3]
+    rr = np.linalg.norm(s[:, :2], axis=-1)
+    aa = np.mod(np.arctan2(s[:, 1], s[:, 0]), 2 * np.pi)
+    keep = (rr > 2.0) & (rr < (R - 8) * sc.res)
+    rr, aa = rr[keep], aa[keep]
+    ai = np.clip((aa / (2 * np.pi / A)).astype(int), 0, A - 1)
+    ri = np.clip((rr / sc.res).astype(int), 0, R - 4)
+    amp = rng.uniform(0.75, 0.95, rr.shape[0]).astype(np.float32)
+    for d in range(3):  # small range spread, wall-like
+        fft[ai, ri + d] = np.maximum(fft[ai, ri + d], amp * (1 - 0.25 * d))
+
+    # ghost sector: contiguous azimuths get a dim second return behind the
+    # true one (multipath off the wall face)
+    a0 = rng.integers(0, A)
+    sector = (ai - a0) % A < int(ghost_frac * A)
+    gr = rr[sector] + rng.uniform(1.5, 3.5, sector.sum())
+    gi = np.clip((gr / sc.res).astype(int), 0, R - 4)
+    ga = ai[sector]
+    gamp = rng.uniform(0.45, 0.6, ga.shape[0]).astype(np.float32)
+    for d in range(3):
+        fft[ga, gi + d] = np.maximum(fft[ga, gi + d], gamp * (1 - 0.25 * d))
+
+    img = np.zeros((A, 11 + R), np.uint8)
+    ts = np.arange(A, dtype=np.int64) * 400
+    img[:, :8] = np.frombuffer(ts.tobytes(), np.uint8).reshape(A, 8)
+    enc = (np.arange(A, dtype=np.float64) / A * 5600).astype(np.uint16)
+    img[:, 8:10] = np.frombuffer(enc.tobytes(), np.uint8).reshape(A, 2)
+    img[:, 11:] = np.clip(fft * 255, 0, 255).astype(np.uint8)
+    return img
+
+
+def synthesize_tree(root: str, sc: Scale, seed: int = 7):
+    from mm_masking_tpu.data.boreas import get_inverse_tf
+
+    rng = np.random.default_rng(seed)
+    world, segs = build_world(rng, sc)
+    extent = sc.cart * sc.cart_res / 2 * 0.55
+    L = extent * 1.6
+
+    def traj(n, t0, phase, drift):
+        xs = np.linspace(0, L * 0.85, n)
+        ys = 0.8 * np.sin(xs / L * 2 * np.pi + phase) + drift
+        hs = np.gradient(ys, xs)
+        return [(t0 + 250_000 * i, float(xs[i]), float(ys[i]), float(hs[i]))
+                for i in range(n)]
+
+    rows = {MAP_SEQ: traj(sc.n_teach, 1_000_000, 0.0, 0.0),
+            TRAIN_SEQ: traj(sc.n_train, 100_000_000, 0.7, 0.4),
+            VAL_SEQ: traj(sc.n_val, 200_000_000, 1.9, -0.35)}
+
+    for seq, rws in rows.items():
+        d = osp.join(root, "vtr_data", seq)
+        os.makedirs(osp.join(d, "applanix"), exist_ok=True)
+        os.makedirs(osp.join(d, "calib"), exist_ok=True)
+        np.savetxt(osp.join(d, "calib", "T_applanix_lidar.txt"), np.eye(4))
+        np.savetxt(osp.join(d, "calib", "T_radar_lidar.txt"), np.eye(4))
+        _write_csv(osp.join(d, "applanix", "radar_poses.csv"), rws)
+        _write_csv(osp.join(d, "applanix", "lidar_poses.csv"), rws)
+
+    # teach lidar frames (.bin, Boreas float32 (N, 6))
+    ldir = osp.join(root, "vtr_data", MAP_SEQ, "lidar")
+    os.makedirs(ldir, exist_ok=True)
+    for t_us, x, y, h in rows[MAP_SEQ]:
+        Ti = get_inverse_tf(_pose(x, y, h))
+        s = (world @ Ti[:3, :3].T + Ti[:3, 3]).astype(np.float32)
+        rr = np.linalg.norm(s[:, :2], axis=-1)
+        s = s[(rr > 1.5) & (rr < extent * 2.2)]
+        s = s + rng.normal(0, 0.01, s.shape).astype(np.float32)
+        np.concatenate([s, np.zeros_like(s)], 1).astype(np.float32).tofile(
+            osp.join(ldir, f"{t_us}.bin"))
+
+    # repeat radar frames (raw Navtech .npy — the detector extracts clouds
+    # from these in datagen, and the dataset reads them for fft_data)
+    for seq in (TRAIN_SEQ, VAL_SEQ):
+        rdir = osp.join(root, "vtr_data", seq, "radar")
+        os.makedirs(rdir, exist_ok=True)
+        for t_us, x, y, h in rows[seq]:
+            Ti = get_inverse_tf(_pose(x, y, h))
+            img = _render_radar(segs, Ti, rng, sc, ghost_frac=0.3)
+            np.save(osp.join(rdir, f"{t_us}.npy"), img)
+    return rows
+
+
+# ---------------------------------------------------------------------- main
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scale", default="full", choices=["tiny", "full"])
+    ap.add_argument("--root", default="/tmp/e2e_product")
+    ap.add_argument("--epochs", type=int, default=0, help="override epochs")
+    ap.add_argument("--regen", action="store_true",
+                    help="force re-synthesis + re-datagen")
+    ap.add_argument("--run-name", default="e2e_product")
+    ap.add_argument("--icp-type", default="pt2pl", choices=["pt2pt", "pt2pl"])
+    ap.add_argument("--datagen-only", action="store_true",
+                    help="stop after shard generation (pre-build the tree "
+                         "on CPU; run training on the chip later)")
+    args = ap.parse_args()
+
+    sc = TINY if args.scale == "tiny" else Scale()
+    if args.epochs:
+        sc = dataclasses.replace(sc, epochs=args.epochs)
+    root = args.root + ("_tiny" if args.scale == "tiny" else "")
+
+    if args.regen and osp.isdir(root):
+        shutil.rmtree(root)
+    done_marker = osp.join(root, "vtr_results", "radar_lidar", MAP_SEQ)
+    if not osp.isdir(done_marker):
+        os.makedirs(root, exist_ok=True)
+        print(f"[e2e] synthesizing Boreas-style tree under {root}",
+              file=sys.stderr, flush=True)
+        synthesize_tree(root, sc)
+
+        from mm_masking_tpu.localization.datagen import (
+            DatagenConfig, generate_pair,
+        )
+
+        dg = DatagenConfig(
+            map_sensor="lidar", loc_sensor="radar",
+            max_points=sc.max_loc_pts, max_map_pts=sc.max_map_pts,
+            radar_resolution=sc.res, voxel_size=0.3, batch_size=8,
+        )
+        for loc_seq in (TRAIN_SEQ, VAL_SEQ):
+            print(f"[e2e] datagen {MAP_SEQ} -> {loc_seq}", file=sys.stderr,
+                  flush=True)
+            generate_pair(root, MAP_SEQ, loc_seq, dg)
+
+    if args.datagen_only:
+        print(json.dumps({"status": "datagen_done", "root": root}), flush=True)
+        return
+
+    from mm_masking_tpu.config import (
+        Config, DataConfig, LossWeights, ModelConfig, TrainConfig,
+    )
+    from mm_masking_tpu.train import Trainer
+    from mm_masking_tpu.data import ICPWeightDataset, epoch_batches
+
+    cfg = Config(
+        model=ModelConfig(
+            icp_type=args.icp_type, enc_channels=sc.enc_channels,
+            res=sc.res, polar_shape=(sc.A, sc.R),
+            cart_pixel_width=sc.cart, cart_resolution=sc.cart_res,
+            dtype=sc.dtype,
+        ),
+        data=DataConfig(
+            map_sensor="lidar", loc_sensor="radar", data_dir=root,
+            pos_std=0.5, rot_std=0.1,
+            max_loc_pts=sc.max_loc_pts, max_map_pts=sc.max_map_pts,
+        ),
+        train=TrainConfig(
+            batch_size_train=sc.batch_train, batch_size_test=sc.batch_test,
+            num_epochs=sc.epochs, learning_rate=3e-4,
+            checkpoint_dir=osp.join("results", "checkpoints", args.run_name),
+        ),
+        # the collapse-resistant walls recipe (docs/STATUS.md round-4)
+        loss=LossWeights(num_pts=1e-3, num_pts_floor=0.15),
+        train_loc_pairs=((MAP_SEQ, TRAIN_SEQ),),
+        val_loc_pairs=((MAP_SEQ, VAL_SEQ),),
+    )
+
+    train_ds = ICPWeightDataset(list(cfg.train_loc_pairs), cfg, "train")
+    val_ds = ICPWeightDataset(list(cfg.val_loc_pairs), cfg, "test")
+    print(f"[e2e] train={len(train_ds)} val={len(val_ds)} samples",
+          file=sys.stderr, flush=True)
+
+    trainer = Trainer(cfg)
+    state = trainer.fit(
+        lambda epoch: epoch_batches(train_ds, cfg.train.batch_size_train,
+                                    cfg, shuffle=True, seed=epoch),
+        lambda: epoch_batches(val_ds, cfg.train.batch_size_test, cfg,
+                              shuffle=False, drop_last=False),
+    )
+    del state
+
+    # pull the headline numbers back out of the run's JSONL (the logger
+    # appends across runs — keep only the records of THIS run, i.e. after
+    # the last "baseline" event)
+    recs = [json.loads(l) for l in open(trainer.logger.path)]
+    start = max(i for i, r in enumerate(recs) if r.get("event") == "baseline")
+    recs = recs[start:]
+    by = lambda k: [r for r in recs if r.get("event") == k]  # noqa: E731
+    base = by("baseline")[-1]
+    final = by("final_val")[-1]
+    epochs = by("epoch")
+    summary = {
+        "metric": "e2e_product_val_norm",
+        "value": final["norm"],
+        "val_init_baseline": base["val_init"],
+        "val_ones_baseline": base["val_ones"],
+        "improvement_vs_ones": base["val_ones"] / max(final["norm"], 1e-12),
+        "best_epoch_norm": min(e["acc"] for e in epochs),
+        "epochs": len(epochs),
+        "notfinite_count": epochs[-1]["notfinite_count"],
+        "train_samples": len(train_ds),
+        "val_samples": len(val_ds),
+        "scale": args.scale,
+    }
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
