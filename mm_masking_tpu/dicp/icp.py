@@ -67,6 +67,12 @@ class ICPConfig:
     nn_stripe: bool | None = None
     nn_stripe_window: int = 0
     nn_stripe_tile: int = 256
+    # Rematerialize each unrolled GN iteration on the backward pass
+    # (jax.checkpoint on the scan body). Numerics exact; trades the stored
+    # per-iteration residual set — several (B, N, ·) arrays × max_iterations,
+    # whose low-channel layouts XLA pads heavily on TPU — for recompute.
+    # Off by default; a measured speed/memory knob like ModelConfig.remat.
+    remat_iters: bool = False
     damping: float = 1e-9  # Tikhonov floor keeping A invertible when weights die
     # Trace-relative Levenberg floor added on top of `damping`:
     # λ = damping + damping_rel · tr(A)/dof. Negligible (1e-7 relative) on a
@@ -291,13 +297,27 @@ def _gn_step(
     return T_new, delta
 
 
+@jax.custom_vjp
 def _solve3x3(A: jax.Array, b: jax.Array) -> jax.Array:
     """Closed-form (adjugate/Cramer) solve of batched 3x3 systems.
 
     `jnp.linalg.solve` lowers to a general LU factorization — needless weight
     for the damped, symmetric 3x3 normal equations in the planar GN step; the
-    cofactor form is a handful of fused VPU ops and fully differentiable.
+    cofactor form is a handful of fused VPU ops.
+
+    The VJP is the standard linear-solve adjoint (b̄ = A⁻ᵀ x̄, Ā = −b̄ xᵀ,
+    computed via the same cofactor solve) rather than autodiff of the cofactor
+    arithmetic: the latter carries 1/det² terms, and a near-dead damped system
+    (all weights trimmed → A ≈ λI with λ ≈ 1e-9 → det ≈ 1e-27) overflows
+    1/det² past f32 range — one diverged batch item then NaN-poisons the whole
+    step's gradient (observed in training: apply_if_finite dropped 3 of every
+    4 updates). Same mathematical derivative, identical for healthy systems to
+    rounding; finite (merely large) for near-singular ones.
     """
+    return _solve3x3_impl(A, b)
+
+
+def _solve3x3_impl(A: jax.Array, b: jax.Array) -> jax.Array:
     a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
     a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
     a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
@@ -316,6 +336,21 @@ def _solve3x3(A: jax.Array, b: jax.Array) -> jax.Array:
     x1 = (c10 * b[..., 0] + c11 * b[..., 1] + c12 * b[..., 2]) * inv_det
     x2 = (c20 * b[..., 0] + c21 * b[..., 1] + c22 * b[..., 2]) * inv_det
     return jnp.stack([x0, x1, x2], axis=-1)
+
+
+def _solve3x3_fwd(A, b):
+    x = _solve3x3_impl(A, b)
+    return x, (A, x)
+
+
+def _solve3x3_bwd(res, g):
+    A, x = res
+    gb = _solve3x3_impl(jnp.swapaxes(A, -1, -2), g)  # A⁻ᵀ x̄
+    gA = -gb[..., :, None] * x[..., None, :]
+    return gA, gb
+
+
+_solve3x3.defvjp(_solve3x3_fwd, _solve3x3_bwd)
 
 
 def _hat(p: jax.Array) -> jax.Array:
@@ -442,6 +477,11 @@ def icp(
         def body(T, _):
             T_new, delta = step(T)
             return T_new, jnp.linalg.norm(delta, axis=-1)
+
+        if cfg.remat_iters:
+            # prevent_cse=False is safe (and faster) under scan: the staging
+            # of each iteration already prevents cross-iteration CSE.
+            body = jax.checkpoint(body, prevent_cse=False)
 
         T_final, delta_hist = jax.lax.scan(
             body, T_init, None, length=cfg.max_iterations
