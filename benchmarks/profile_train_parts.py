@@ -107,6 +107,15 @@ def main():
     t = timeit(lambda: tr2._train_step(st2, tb, mask_losses_active=True))
     print(f"{'train step w/o ICP solve':38s} {t:8.1f} ms")
 
+    # --- train step with per-iteration ICP remat ------------------------
+    # (ICPConfig.remat_iters: recompute each GN iteration in the backward
+    # instead of storing 10 iterations of padded (B, N, ·) residuals)
+    cfg_remat = dc.replace(cfg, model=dc.replace(cfg.model, icp_remat=True))
+    tr3 = Trainer(cfg_remat, mesh=trainer.mesh)
+    st3 = tr3.init_state()
+    t = timeit(lambda: tr3._train_step(st3, tb, mask_losses_active=True))
+    print(f"{'train step + icp_remat':38s} {t:8.1f} ms")
+
 
 if __name__ == "__main__":
     main()

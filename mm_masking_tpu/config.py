@@ -93,6 +93,10 @@ class ModelConfig:
     # required to fit train batches ≥ 64 in HBM, where XLA's 8× low-channel
     # layout padding amortizes (docs/BENCH_DETAIL.md). Numerics exact.
     remat: bool = False
+    # Rematerialize each unrolled training-ICP iteration on the backward
+    # pass (ICPConfig.remat_iters): numerics exact, trades the stored
+    # per-iteration residuals for recompute. Measured knob, off by default.
+    icp_remat: bool = False
 
     @property
     def in_channels(self) -> int:

@@ -99,6 +99,7 @@ class LearnICPWeightPolicy:
             icp_type=m.icp_type,
             max_iterations=m.max_iter,
             differentiable=True,
+            remat_iters=m.icp_remat,
         )
         self._icp_inference = ICPConfig(
             icp_type=m.icp_type,

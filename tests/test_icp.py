@@ -534,3 +534,30 @@ def test_nn_stripe_per_item_gate_interpret():
     np.testing.assert_array_equal(np.asarray(idx_s)[1], np.asarray(idx_b)[1])
     np.testing.assert_allclose(np.asarray(d2_s)[1], np.asarray(d2_b)[1],
                                atol=1e-3)
+
+
+def test_remat_iters_exact_forward_and_grad():
+    """ICPConfig.remat_iters (jax.checkpoint on the unrolled scan body) is a
+    memory/speed layout knob only: pose AND weight-gradient must be
+    bit-identical to the default unrolled solve."""
+    src, tgt = make_scene(seed=5)
+    T_init = perturb(2, seed=6)
+    w0 = jnp.ones(src.shape[:2], jnp.float32) * 0.7
+
+    def run(remat):
+        cfg = ICPConfig(icp_type="pt2pl", max_iterations=8,
+                        differentiable=True, remat_iters=remat)
+
+        def loss(w):
+            T = icp(src, tgt, T_init, weight=w, cfg=cfg)["T"]
+            th, r = planar_xi_first_order(T)
+            return jnp.sum(jnp.abs(th)) + jnp.sum(jnp.linalg.norm(r, axis=-1))
+
+        return jax.value_and_grad(loss)(w0)
+
+    (l0, g0), (l1, g1) = run(False), run(True)
+    # checkpoint changes XLA's fusion/residual choices, so values can drift
+    # at rounding level — assert tight closeness, not bit equality
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g0), np.asarray(g1), rtol=1e-4, atol=1e-7)
