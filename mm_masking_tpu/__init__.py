@@ -16,3 +16,18 @@ Layering (bottom-up, see SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+# Honor an explicitly-set JAX_PLATFORMS before any backend init. The axon TPU
+# plugin registers itself regardless of the env var (only the config call
+# reliably pins the platform — tests/conftest.py documents this), so without
+# this, `JAX_PLATFORMS=cpu python -m mm_masking_tpu....` still initializes the
+# TPU client — and HANGS every CLI surface when the tunnel is wedged. Honoring
+# the variable the user explicitly set is the principle of least surprise;
+# when it is unset, backend selection is untouched.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+del _os
