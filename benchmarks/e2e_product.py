@@ -84,6 +84,15 @@ TINY = Scale(A=64, R=256, res=15.0 / 256, cart=64, cart_res=2 * 15.0 / 64,
              max_map_pts=2048, enc_channels=(4, 8),
              batch_train=2, batch_test=2, epochs=2, dtype="float32", wall_h=0.4)
 
+# CPU-runnable middle ground: quarter-resolution images, quarter clouds —
+# big enough for the ghost-suppression learning signal, small enough to
+# train on the 1-core host when the chip is unavailable.
+MID = Scale(A=200, R=840, res=0.0596 * 4, cart=256, cart_res=0.2384 * 640 / 256,
+            n_teach=24, n_train=32, n_val=16, max_loc_pts=1024,
+            max_map_pts=4096, enc_channels=(8, 16, 32, 64),
+            batch_train=8, batch_test=8, epochs=10, dtype="float32",
+            wall_h=1.2)
+
 MAP_SEQ, TRAIN_SEQ, VAL_SEQ = "e2e-map", "e2e-train", "e2e-val"
 
 
@@ -244,7 +253,7 @@ def synthesize_tree(root: str, sc: Scale, seed: int = 7):
 # ---------------------------------------------------------------------- main
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--scale", default="full", choices=["tiny", "full"])
+    ap.add_argument("--scale", default="full", choices=["tiny", "mid", "full"])
     ap.add_argument("--root", default="/tmp/e2e_product")
     ap.add_argument("--epochs", type=int, default=0, help="override epochs")
     ap.add_argument("--regen", action="store_true",
@@ -256,10 +265,10 @@ def main():
                          "on CPU; run training on the chip later)")
     args = ap.parse_args()
 
-    sc = TINY if args.scale == "tiny" else Scale()
+    sc = {"tiny": TINY, "mid": MID, "full": Scale()}[args.scale]
     if args.epochs:
         sc = dataclasses.replace(sc, epochs=args.epochs)
-    root = args.root + ("_tiny" if args.scale == "tiny" else "")
+    root = args.root + ("" if args.scale == "full" else f"_{args.scale}")
 
     if args.regen and osp.isdir(root):
         shutil.rmtree(root)
