@@ -260,6 +260,7 @@ def main():
                     help="force re-synthesis + re-datagen")
     ap.add_argument("--run-name", default="e2e_product")
     ap.add_argument("--icp-type", default="pt2pl", choices=["pt2pt", "pt2pl"])
+    ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--datagen-only", action="store_true",
                     help="stop after shard generation (pre-build the tree "
                          "on CPU; run training on the chip later)")
@@ -317,7 +318,7 @@ def main():
         ),
         train=TrainConfig(
             batch_size_train=sc.batch_train, batch_size_test=sc.batch_test,
-            num_epochs=sc.epochs, learning_rate=3e-4,
+            num_epochs=sc.epochs, learning_rate=args.lr,
             checkpoint_dir=osp.join("results", "checkpoints", args.run_name),
         ),
         # the collapse-resistant walls recipe (docs/STATUS.md round-4)
