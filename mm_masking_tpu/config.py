@@ -97,6 +97,11 @@ class ModelConfig:
     # pass (ICPConfig.remat_iters): numerics exact, trades the stored
     # per-iteration residuals for recompute. Measured knob, off by default.
     icp_remat: bool = False
+    # Trust-region clamp on each GN update's translation (m), train AND
+    # inference solvers (ICPConfig.max_step_m). 0 = off (reference
+    # semantics); > 0 prevents near-dead systems from death-spiraling tens
+    # of meters on hard frames.
+    icp_max_step_m: float = 0.0
 
     @property
     def in_channels(self) -> int:

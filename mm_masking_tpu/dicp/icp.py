@@ -67,6 +67,15 @@ class ICPConfig:
     nn_stripe: bool | None = None
     nn_stripe_window: int = 0
     nn_stripe_tile: int = 256
+    # Trust-region step clamp (meters): when > 0, any GN update whose
+    # translation exceeds this is scaled down (whole twist, direction kept)
+    # so ‖(dx, dy, dz)‖ ≤ max_step_m. A near-dead system (few active points
+    # after a bad step, e.g. ghost-heavy frames under uniform weights) can
+    # otherwise command a 10-50 m jump and death-spiral: the active set
+    # collapses further and the damped-only solve wanders (observed 13-38 m
+    # final errors on generated radar_lidar data). 0 = off — reference
+    # semantics; parity-critical paths must keep 0.
+    max_step_m: float = 0.0
     # Rematerialize each unrolled GN iteration on the backward pass
     # (jax.checkpoint on the scan body). Numerics exact; trades the stored
     # per-iteration residual set — several (B, N, ·) arrays × max_iterations,
@@ -281,6 +290,14 @@ def _gn_step(
         delta = jnp.linalg.solve(A, b[..., None])[..., 0]
     # A diverged item must not turn the whole composed pose chain NaN.
     delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+
+    if cfg.max_step_m > 0.0:
+        # Trust region: scale the whole twist so the translation magnitude
+        # stays within max_step_m (see ICPConfig.max_step_m). Smooth and
+        # differentiable wherever the clamp is inactive.
+        t_norm = jnp.linalg.norm(delta[:, :3] + 1e-30, axis=-1)
+        scale = jnp.minimum(1.0, cfg.max_step_m / jnp.maximum(t_norm, 1e-30))
+        delta = delta * scale[:, None]
 
     if cfg.dim == 2 and cfg.planar_retraction == "direct":
         # Raw-translation planar retraction (see ICPConfig.planar_retraction).

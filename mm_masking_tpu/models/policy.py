@@ -100,6 +100,7 @@ class LearnICPWeightPolicy:
             max_iterations=m.max_iter,
             differentiable=True,
             remat_iters=m.icp_remat,
+            max_step_m=m.icp_max_step_m,
         )
         self._icp_inference = ICPConfig(
             icp_type=m.icp_type,
@@ -107,6 +108,7 @@ class LearnICPWeightPolicy:
             tolerance=1e-5,
             differentiable=False,
             nn_refresh_dist=m.nn_refresh_dist,
+            max_step_m=m.icp_max_step_m,
         )
 
     # -- parameter init ----------------------------------------------------

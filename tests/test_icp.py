@@ -561,3 +561,32 @@ def test_remat_iters_exact_forward_and_grad():
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(g0), np.asarray(g1), rtol=1e-4, atol=1e-7)
+
+
+def test_max_step_trust_region():
+    """max_step_m: (a) inactive on a healthy solve (identical result),
+    (b) bounds every iteration's translation when active."""
+    src, tgt = make_scene(seed=7)
+    T_init = perturb(2, seed=8)
+    base = ICPConfig(icp_type="pt2pt", max_iterations=20, differentiable=True)
+    out0 = icp(src, tgt, T_init, cfg=base)
+    out1 = icp(src, tgt, T_init,
+               cfg=dataclasses.replace(base, max_step_m=100.0))
+    np.testing.assert_array_equal(np.asarray(out0["T"]), np.asarray(out1["T"]))
+
+    # a pathological system: 3 nearly-colinear active points far from the
+    # scan → huge unconstrained GN step without the clamp
+    rng = np.random.default_rng(0)
+    B, N, M = 1, 64, 64
+    s = np.zeros((B, N, 3), np.float32)
+    s[..., 0] = np.linspace(0, 0.5, N)  # tight colinear cluster
+    s[..., 1] = rng.normal(0, 1e-4, (B, N))
+    t = np.full((B, M, 3), TARGET_PAD_VAL, np.float32)
+    t[:, :3, 0] = [4.0, 4.2, 4.4]  # few in-trim targets, colinear
+    t[:, :3, 1] = 0.0
+    t[:, :3, 2] = 0.0
+    cfg = ICPConfig(icp_type="pt2pt", max_iterations=1, differentiable=True,
+                    max_step_m=0.5)
+    out = icp(jnp.asarray(s), jnp.asarray(t), jnp.eye(4)[None], cfg=cfg)
+    step = np.linalg.norm(np.asarray(out["T"])[0, :3, 3])
+    assert step <= 0.5 + 1e-5, step
