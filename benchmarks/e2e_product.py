@@ -261,6 +261,8 @@ def main():
     ap.add_argument("--run-name", default="e2e_product")
     ap.add_argument("--icp-type", default="pt2pl", choices=["pt2pt", "pt2pl"])
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--max-step", type=float, default=0.0,
+                    help="ICP trust-region clamp (m); 0 = reference semantics")
     ap.add_argument("--datagen-only", action="store_true",
                     help="stop after shard generation (pre-build the tree "
                          "on CPU; run training on the chip later)")
@@ -307,6 +309,7 @@ def main():
     cfg = Config(
         model=ModelConfig(
             icp_type=args.icp_type, enc_channels=sc.enc_channels,
+            icp_max_step_m=args.max_step,
             res=sc.res, polar_shape=(sc.A, sc.R),
             cart_pixel_width=sc.cart, cart_resolution=sc.cart_res,
             dtype=sc.dtype,
