@@ -293,10 +293,17 @@ def _gn_step(
 
     if cfg.max_step_m > 0.0:
         # Trust region: scale the whole twist so the translation magnitude
-        # stays within max_step_m (see ICPConfig.max_step_m). Smooth and
-        # differentiable wherever the clamp is inactive.
-        t_norm = jnp.linalg.norm(delta[:, :3] + 1e-30, axis=-1)
-        scale = jnp.minimum(1.0, cfg.max_step_m / jnp.maximum(t_norm, 1e-30))
+        # stays within max_step_m (see ICPConfig.max_step_m). Formulated so
+        # every VJP factor is finite even at delta == 0 (a dead system):
+        # max(t², max²) floors the sqrt/divide operands at max_step (≥ the
+        # clamp, never near f32 underflow), and the maximum routes the
+        # cotangent to the constant branch when the clamp is inactive —
+        # a naive min(1, max/‖t‖) NaNs there (t² underflows to 0 → the
+        # norm's 0/0 VJP), which is how this was first written. Inactive
+        # clamp ⇒ scale == 1.0 exactly ⇒ delta unchanged bitwise.
+        t_sq = jnp.sum(delta[:, :3] * delta[:, :3], axis=-1)
+        t_floor = jnp.sqrt(jnp.maximum(t_sq, cfg.max_step_m**2))
+        scale = cfg.max_step_m / t_floor
         delta = delta * scale[:, None]
 
     if cfg.dim == 2 and cfg.planar_retraction == "direct":

@@ -590,3 +590,33 @@ def test_max_step_trust_region():
     out = icp(jnp.asarray(s), jnp.asarray(t), jnp.eye(4)[None], cfg=cfg)
     step = np.linalg.norm(np.asarray(out["T"])[0, :3, 3])
     assert step <= 0.5 + 1e-5, step
+
+
+def test_max_step_grad_finite_on_dead_item():
+    """Regression: an item with ZERO in-trim points (delta == 0 from step
+    one) must not NaN the clamp's backward — t² underflows f32 at delta=0
+    and the naive min(1, max/‖t‖) formulation produced 0·inf there."""
+    B, N, M = 2, 32, 64
+    src = np.zeros((B, N, 3), np.float32)
+    src[..., 0] = np.linspace(1, 3, N)
+    tgt = np.full((B, M, 6), TARGET_PAD_VAL, np.float32)
+    # item 0: map 100 m away (nothing in trim); item 1: healthy overlap
+    tgt[0, :20, 0] = np.linspace(100, 102, 20)
+    tgt[1, :20, 0] = np.linspace(1, 3, 20)
+    tgt[:, :20, 1:3] = 0.0
+    tgt[:, :20, 3:6] = np.asarray([0.0, 1.0, 0.0])
+    w0 = jnp.ones((B, N), jnp.float32) * 0.8
+    cfg = ICPConfig(icp_type="pt2pl", max_iterations=3, differentiable=True,
+                    max_step_m=2.0)
+
+    def loss(w):
+        T = icp(jnp.asarray(src), jnp.asarray(tgt), jnp.eye(4)[None].repeat(B, 0),
+                weight=w, cfg=cfg)["T"]
+        th, r = planar_xi_first_order(T)
+        # sum(abs), not sum(norm): the dead item's pose stays exactly at
+        # identity and norm's VJP is 0/0 at r == 0 (a loss-side property,
+        # not the solver's)
+        return jnp.sum(jnp.abs(th)) + jnp.sum(jnp.abs(r))
+
+    g = jax.grad(loss)(w0)
+    assert bool(jnp.isfinite(g).all())
