@@ -229,7 +229,8 @@ def cmd_localize(args) -> int:
                              icp_type=args.icp_type,
                              normal_threshold=args.normal_threshold,
                              min_matched_ratio=args.min_matched_ratio,
-                             nn_refresh_dist=args.nn_refresh_dist)
+                             nn_refresh_dist=args.nn_refresh_dist,
+                             max_step_m=args.max_step)
 
     if kind == "radar":
         frames = _load_radar_frames(paths)
@@ -296,6 +297,9 @@ def main(argv=None) -> int:
                         help="motion-gated NN refresh (m) in the refined "
                              "ICP; 0 = search every iteration (reference "
                              "semantics), 0.05 = measured speed knob")
+    common.add_argument("--max-step", type=float, default=0.0,
+                        help="ICP trust-region step clamp (m); 0 = off "
+                             "(reference semantics)")
 
     t = sub.add_parser("teach", parents=[common],
                        help="odometry + map building (run_test.sh odometry)")

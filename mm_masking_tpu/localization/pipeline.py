@@ -61,6 +61,9 @@ class LocalizationConfig:
     # ICPConfig.nn_refresh_dist. 0 (default) = search every iteration —
     # reference semantics; bench/eval paths opt into 0.05 explicitly.
     nn_refresh_dist: float = 0.0
+    # Trust-region clamp on each GN update's translation (m), both ICP
+    # phases; see ICPConfig.max_step_m. 0 = off (reference semantics).
+    max_step_m: float = 0.0
 
 
 def project_map(map_pc: jax.Array, cfg: LocalizationConfig) -> jax.Array:
@@ -133,6 +136,7 @@ def localize_clouds(
             icp_type=cfg.icp_type, max_iterations=cfg.initial_max_iter,
             differentiable=True, trim_dist=cfg.initial_max_pairing_dist,
             loss_name=loss["name"], loss_metric=loss["metric"], dim=2,
+            max_step_m=cfg.max_step_m,
         ),
     )
     refined = icp(
@@ -143,6 +147,7 @@ def localize_clouds(
             trim_dist=cfg.refined_max_pairing_dist,
             loss_name=loss["name"], loss_metric=loss["metric"], dim=2,
             nn_refresh_dist=cfg.nn_refresh_dist,
+            max_step_m=cfg.max_step_m,
         ),
     )
     T = refined["T"]
