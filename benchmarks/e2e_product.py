@@ -263,6 +263,9 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--max-step", type=float, default=0.0,
                     help="ICP trust-region clamp (m); 0 = reference semantics")
+    ap.add_argument("--clip", type=float, default=0.0,
+                    help="gradient value clip (train.clip_value); bounds the "
+                         "spikes diverged ICP items kick into Adam's moments")
     ap.add_argument("--datagen-only", action="store_true",
                     help="stop after shard generation (pre-build the tree "
                          "on CPU; run training on the chip later)")
@@ -321,7 +324,7 @@ def main():
         ),
         train=TrainConfig(
             batch_size_train=sc.batch_train, batch_size_test=sc.batch_test,
-            num_epochs=sc.epochs, learning_rate=args.lr,
+            num_epochs=sc.epochs, learning_rate=args.lr, clip_value=args.clip,
             checkpoint_dir=osp.join("results", "checkpoints", args.run_name),
         ),
         # the collapse-resistant walls recipe (docs/STATUS.md round-4)
