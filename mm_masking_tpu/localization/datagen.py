@@ -39,6 +39,7 @@ import json
 import os
 import os.path as osp
 
+import jax.numpy as jnp
 import numpy as np
 
 from mm_masking_tpu.data.boreas import (
@@ -177,12 +178,48 @@ def generate_pair(
         voxel_size=cfg.voxel_size,
         max_iterations=cfg.odometry_iterations,
     ))
+    # The GLOBAL teach map is accumulated HOST-side from every frame's
+    # world-aligned points: the odometry's fixed-size device buffer is a
+    # sliding LOCAL map (nearest-to-robot eviction on overflow) and must not
+    # double as the route-wide localization map — on routes whose voxel count
+    # exceeds the buffer, reusing it silently dropped distant (early-route)
+    # structure. vtr stores per-vertex submaps for the same reason.
+    world_pts = []
     for i in range(map_clouds.shape[0]):
-        teach.process(map_clouds[i], stamp_us=map_stamps[i])
-    map_world = np.asarray(teach.map_with_normals()[0])  # (M, 6) world frame
-    real = np.abs(map_world[:, 0]) < TARGET_PAD_VAL / 2
-    map_world = map_world[real]
+        T = np.asarray(teach.process(map_clouds[i], stamp_us=map_stamps[i]))
+        c = np.asarray(map_clouds[i])
+        valid = ~((c[:, 0] == 0.0) & (c[:, 1] == 0.0))
+        world_pts.append(c[valid] @ T[:3, :3].T + T[:3, 3])
     T_world_sensor = np.stack(teach.trajectory)  # (K, 4, 4), world = frame 0
+
+    # one exact voxel-mean pass over the whole route (numpy group-by)
+    allw = np.concatenate(world_pts).astype(np.float64)
+    cells = np.floor(allw / cfg.voxel_size).astype(np.int64)
+    _, inv, counts = np.unique(cells, axis=0, return_inverse=True,
+                               return_counts=True)
+    sums = np.zeros((counts.shape[0], 3))
+    np.add.at(sums, inv, allw)
+    map_world = (sums / counts[:, None]).astype(np.float32)
+    if map_world.shape[0] > cfg.max_map_pts:
+        print(
+            f"datagen: global map {map_world.shape[0]} voxels > cap "
+            f"{cfg.max_map_pts} — even subsample (raise max_map_pts to keep "
+            "the full route)"
+        )
+        sel = np.random.default_rng(0).permutation(
+            map_world.shape[0])[: cfg.max_map_pts]
+        map_world = map_world[np.sort(sel)]
+    # normals on the global map (same estimator as TeachPass.map_with_normals)
+    from mm_masking_tpu.ops.preprocessing import estimate_normals
+
+    pad_n = int(cfg.max_map_pts) - map_world.shape[0]
+    padded = np.concatenate(
+        [map_world, np.full((max(pad_n, 0), 3), TARGET_PAD_VAL, np.float32)]
+    ) if pad_n > 0 else map_world
+    nrm = np.asarray(estimate_normals(
+        jnp.asarray(padded)[None], k=teach.cfg.normals_k)[0][0])
+    map_world = np.concatenate(
+        [map_world, nrm[: map_world.shape[0]]], axis=-1)
 
     # --- GT + calib (the same files the dataset reads) ---------------------
     gt_map_poses, gt_map_times = read_traj_file_gt2(

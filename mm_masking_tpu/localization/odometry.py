@@ -32,6 +32,11 @@ class OdometryConfig:
     max_iterations: int = 30
     trim_dist: float = 5.0
     cauchy_k: float = 1.0
+    # GN trust region (`ICPConfig.max_step_m`): caps each iteration's
+    # translation update. A near-degenerate solve (frontier thinned, matches
+    # collinear) otherwise hops metres in one step and the divergence
+    # overflows f32 — measured on the e2e corridor teach pass. 0 disables.
+    max_step_m: float = 2.0
     # vertex_test thresholds; 0 → every frame is a keyframe (the reference's
     # data-gen setting, `radar_config.yaml:203-206`).
     max_translation: float = 0.0
@@ -83,6 +88,7 @@ def _icp_cfg(cfg: OdometryConfig) -> ICPConfig:
         loss_metric=cfg.cauchy_k,
         dim=2,
         prior_weight=cfg.prior_weight,
+        max_step_m=cfg.max_step_m,
     )
 
 
@@ -150,6 +156,25 @@ def register_frame_ct(scan: jax.Array, times: jax.Array, map_pc: jax.Array,
     return out["T_end"], out["xi"]
 
 
+def orthonormalize_planar(T: jax.Array) -> jax.Array:
+    """Project the planar rotation block of (..., 4, 4) poses back onto SO(2).
+
+    The odometry chain composes hundreds of f32 matmuls (30 GN iterations ×
+    every frame), each adding ~1e-7 of determinant drift — harmless alone,
+    but the constant-velocity warm start `T·(T_prev⁻¹·T)` SQUARES the
+    accumulated pose each frame, so log-det follows d_{k+1}=2d_k−d_{k-1}+ε
+    and grows quadratically-to-exponentially: measured det(R) 1.007 by frame
+    13 and 3.7 by frame 19 on the e2e corridor — the scaled warm start
+    inflates the whole scan until registration diverges. atan2 cancels any
+    isotropic scale, so this recovers the exact underlying angle.
+    """
+    th = jnp.arctan2(T[..., 1, 0], T[..., 0, 0])
+    c, s = jnp.cos(th), jnp.sin(th)
+    T = T.at[..., 0, 0].set(c).at[..., 0, 1].set(-s)
+    T = T.at[..., 1, 0].set(s).at[..., 1, 1].set(c)
+    return T
+
+
 def is_keyframe(T_delta: jax.Array, cfg: OdometryConfig) -> bool:
     """Motion since the last keyframe exceeds the vertex-test thresholds."""
     th, r = planar_xi_first_order(T_delta)
@@ -159,20 +184,37 @@ def is_keyframe(T_delta: jax.Array, cfg: OdometryConfig) -> bool:
 
 
 def merge_into_map(map_pts: jax.Array, scan_world: jax.Array,
-                   cfg: OdometryConfig) -> jax.Array:
+                   cfg: OdometryConfig,
+                   center: jax.Array | None = None,
+                   map_w: jax.Array | None = None):
     """Voxel-merge new world-frame scan points into the fixed-size map buffer.
 
     map_pts: (M, 3) with far-sentinel pads; scan_world: (N, 3) with (0,0,0)
     pads (dropped via the sentinel so they don't pollute cell (0,0,0)).
+    center: robot position (3,) — on buffer overflow the nearest cells to it
+    survive (vtr's sliding local map, `radar_config.yaml:190-200`); without
+    it, overflow eviction is hash-ordered (frontier cells can vanish).
+    map_w: per-row observation weights (M,) — with it the merge is a
+    PERSISTENT weighted mean (each map row carries its accumulated
+    observation count; a new scan point adds weight 1) and the return value
+    is an (means, weights) pair. Without it every merge re-weights a cell's
+    whole history equal to one new point — the map becomes an EMA of the
+    latest scan, and odometry error compounds through it (see
+    `voxel_downsample`).
     """
     pad = (scan_world[:, 0] == 0.0) & (scan_world[:, 1] == 0.0)
     scan_world = jnp.where(pad[:, None], TARGET_PAD_VAL, scan_world)
     merged = jnp.concatenate([map_pts, scan_world], axis=0)
     keep = jnp.abs(merged[:, 0]) < TARGET_PAD_VAL / 2
     merged = jnp.where(keep[:, None], merged, TARGET_PAD_VAL)
+    weights = None
+    if map_w is not None:
+        scan_w = jnp.where(pad, 0.0, 1.0).astype(merged.dtype)
+        weights = jnp.concatenate(
+            [jnp.where(keep[: map_pts.shape[0]], map_w, 0.0), scan_w])
     return voxel_downsample(
         merged, voxel=cfg.voxel_size, max_out=cfg.max_map_pts,
-        pad_val=TARGET_PAD_VAL,
+        pad_val=TARGET_PAD_VAL, center=center, weights=weights,
     )
 
 
@@ -182,6 +224,7 @@ class TeachPass:
     def __init__(self, cfg: OdometryConfig = OdometryConfig()):
         self.cfg = cfg
         self.map_pts: jax.Array | None = None  # (M, 3) world frame
+        self.map_w: jax.Array | None = None  # (M,) per-cell observation mass
         self.T_world_robot = jnp.eye(4)[None]  # (1, 4, 4)
         self.T_prev = None  # previous pose, for the velocity estimate
         self.T_last_key = jnp.eye(4)[None]
@@ -189,11 +232,15 @@ class TeachPass:
         self.stamps: list[int] = []
         self.n_keyframes = 0
         self._register = jax.jit(
-            lambda s, m, T: register_frame(s, m, T, cfg)
+            lambda s, m, T: orthonormalize_planar(
+                register_frame(s, m, T, cfg))
         )
-        self._register_ct = jax.jit(
-            lambda s, t, m, T, xp: register_frame_ct(s, t, m, T, xp, cfg)
-        )
+
+        def _reg_ct(s, t, m, T, xp):
+            T_end, xi = register_frame_ct(s, t, m, T, xp, cfg)
+            return orthonormalize_planar(T_end), xi
+
+        self._register_ct = jax.jit(_reg_ct)
 
     def _warm_start(self) -> jax.Array:
         """ICP initial guess from the motion prior."""
@@ -277,7 +324,10 @@ class TeachPass:
             # Bootstrap: first frame seeds the map at the origin.
             init = jnp.full((self.cfg.max_map_pts, 3), TARGET_PAD_VAL,
                             scan.dtype)
-            self.map_pts = merge_into_map(init, scan[0], self.cfg)
+            self.map_pts, self.map_w = merge_into_map(
+                init, scan[0], self.cfg,
+                center=jnp.zeros(3, scan.dtype),
+                map_w=jnp.zeros((self.cfg.max_map_pts,), scan.dtype))
             self.n_keyframes = 1
             self.trajectory.append(np.eye(4))
             return jnp.eye(4)
@@ -314,7 +364,9 @@ class TeachPass:
                 scan_world = transform_points(T_start, u)[0]
             else:
                 scan_world = transform_points(T, scan)[0]
-            self.map_pts = merge_into_map(self.map_pts, scan_world, self.cfg)
+            self.map_pts, self.map_w = merge_into_map(
+                self.map_pts, scan_world, self.cfg,
+                center=T[0, :3, 3], map_w=self.map_w)
             self.T_last_key = T
             self.n_keyframes += 1
         return T[0]

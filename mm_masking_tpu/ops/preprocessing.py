@@ -164,13 +164,32 @@ def estimate_normals(
 @functools.partial(jax.jit, static_argnames=("voxel", "max_out"))
 def voxel_downsample(
     points: jax.Array, voxel: float = 0.5, max_out: int = 4096,
-    pad_val: float = 0.0,
-) -> jax.Array:
-    """(N, 3) → (max_out, 3) voxel-grid means (first-seen cell order).
+    pad_val: float = 0.0, center: jax.Array | None = None,
+    weights: jax.Array | None = None,
+):
+    """(N, 3) → (max_out, 3) voxel-grid means.
 
     Fixed-shape equivalent of the vtr map voxel filters
-    (`radar_config.yaml:190-200` map maintenance). Cells beyond ``max_out``
-    drop; unused rows carry ``pad_val``.
+    (`radar_config.yaml:190-200` map maintenance). Unused rows carry
+    ``pad_val``.
+
+    Overflow policy (more distinct cells than ``max_out``): with ``center``
+    (a (3,) position) the NEAREST ``max_out`` cells to it survive — the
+    sliding-local-map semantics of vtr's odometry map maintenance, where the
+    map follows the robot. Without it, cells drop in hash order, which at
+    saturation evicts a FIXED pseudorandom subset of space — measured on the
+    e2e corridor this hollowed out the live frontier and spiralled the teach
+    odometry to NaN within 8 frames of the buffer filling.
+
+    ``weights`` ((N,), optional): per-point observation weights. Cell means
+    become weighted means and the return value becomes a ``(means (max_out,
+    3), cell_weights (max_out,))`` pair, so a caller can feed each merge's
+    output weights back in as the next merge's input weights — per-cell
+    observation COUNTS persist across merges. Without this, re-merging means
+    with raw points weights every cell's whole history equal to ONE new
+    point, making the map an EMA of the latest scan: odometry registration
+    error feeds into the map and compounds (measured: mm-level error
+    doubling per frame into divergence on the e2e corridor).
     """
     N = points.shape[0]
     keys = jnp.floor(points / voxel).astype(jnp.int32)
@@ -181,13 +200,44 @@ def voxel_downsample(
     order = jnp.argsort(h)
     h_sorted = h[order]
     pts_sorted = points[order]
+    w_sorted = (
+        jnp.ones((N,), points.dtype) if weights is None else weights[order]
+    )
     is_new = jnp.concatenate(
         [jnp.ones((1,), bool), h_sorted[1:] != h_sorted[:-1]]
     )
     cell_id = jnp.cumsum(is_new) - 1  # 0-based dense cell index (sorted order)
-    cell_id = jnp.where(cell_id < max_out, cell_id, max_out)
-    sums = jnp.zeros((max_out + 1, 3), points.dtype).at[cell_id].add(pts_sorted)
-    counts = jnp.zeros((max_out + 1,), points.dtype).at[cell_id].add(1.0)
-    means = sums[:max_out] / jnp.maximum(counts[:max_out, None], 1.0)
-    used = counts[:max_out] > 0
-    return jnp.where(used[:, None], means, jnp.full_like(means, pad_val))
+    if center is None:
+        cell_id = jnp.where(cell_id < max_out, cell_id, max_out)
+        sums = jnp.zeros((max_out + 1, 3), points.dtype).at[cell_id].add(
+            pts_sorted * w_sorted[:, None])
+        wsum = jnp.zeros((max_out + 1,), points.dtype).at[cell_id].add(
+            w_sorted)
+        means = sums[:max_out] / jnp.maximum(wsum[:max_out, None], 1e-12)
+        used = wsum[:max_out] > 0
+        means = jnp.where(used[:, None], means, jnp.full_like(means, pad_val))
+        if weights is None:
+            return means
+        return means, jnp.where(used, wsum[:max_out], 0.0)
+    # Locality-aware eviction: reduce ALL cells (≤ N of them), then keep the
+    # max_out nearest to `center`. One extra (N,) argsort per merge.
+    sums = jnp.zeros((N, 3), points.dtype).at[cell_id].add(
+        pts_sorted * w_sorted[:, None])
+    wsum = jnp.zeros((N,), points.dtype).at[cell_id].add(w_sorted)
+    means = sums / jnp.maximum(wsum[:, None], 1e-12)
+    used = wsum > 0
+    # Pad rows (at the ±1000 TARGET_PAD_VAL sentinel) form cells too — push
+    # them past every real cell so they never displace one (same |x| < 500
+    # real/pad boundary as `merge_into_map`). Non-finite cells (a diverged
+    # pose's points) are likewise never kept.
+    far = (jnp.abs(means[:, 0]) >= jnp.float32(500.0)) | ~jnp.all(
+        jnp.isfinite(means), axis=-1)
+    dist = jnp.linalg.norm(means - center[None, :], axis=-1)
+    dist = jnp.where(used & ~far, dist, jnp.inf)
+    pick = jnp.argsort(dist)[:max_out]
+    means = means[pick]
+    ok = jnp.isfinite(dist[pick])
+    means = jnp.where(ok[:, None], means, jnp.full_like(means, pad_val))
+    if weights is None:
+        return means
+    return means, jnp.where(ok, wsum[pick], 0.0)

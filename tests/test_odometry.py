@@ -135,3 +135,41 @@ def test_constant_velocity_prior_reduces_drift():
     # Velocity estimate reflects the body-frame step / dt.
     v = np.asarray(tp_cv.velocity_estimate(dt=1.0))
     assert 0.9 < np.linalg.norm(v) < 1.6, v
+
+
+def test_pose_determinant_stays_orthonormal_over_long_runs():
+    """Regression: f32 matmul round-off in the composed pose used to survive
+    into the constant-velocity warm start T·(T_prev⁻¹·T), which SQUARES it
+    every frame — log-det follows d_{k+1}=2d_k−d_{k-1}+ε and blows up
+    quadratically-to-exponentially (measured det(R) 3.7 by frame 19 on the
+    e2e corridor, scan scaled 3.7× → divergence → NaN). The odometry layer
+    now re-orthonormalizes every registered pose."""
+    from mm_masking_tpu.localization.odometry import orthonormalize_planar
+
+    world = make_world(seed=5, n=600)
+    cfg = OdometryConfig(max_map_pts=2048, voxel_size=0.3, max_iterations=30)
+    tp = TeachPass(cfg)
+    rng = np.random.default_rng(7)
+    T = np.eye(4)
+    errs, dets = [], []
+    for i in range(20):
+        T_rw = np.asarray(se3_inv(jnp.asarray(T)[None]))[0]
+        scan = (world @ T_rw[:3, :3].T + T_rw[:3, 3]).astype(np.float32)
+        scan += rng.normal(0, 0.01, scan.shape).astype(np.float32)
+        scan = scan[np.linalg.norm(scan[:, :2], axis=1) < 28][:384]
+        scan = np.pad(scan, ((0, 384 - scan.shape[0]), (0, 0)))
+        T_est = np.asarray(tp.process(jnp.asarray(scan)))
+        errs.append(np.linalg.norm((T_est @ np.linalg.inv(T))[:2, 3]))
+        dets.append(np.linalg.det(T_est[:3, :3]))
+        T = np.asarray(se3_exp(jnp.asarray([0.8, 0.04, 0, 0, 0, 0.04]))) @ T
+    assert max(abs(d - 1.0) for d in dets) < 1e-5, dets
+    assert max(errs[2:]) < 0.08, errs
+
+    # unit behavior: a scaled planar rotation projects back to the exact angle
+    th = 0.3
+    c, s = np.cos(th), np.sin(th)
+    Tm = np.eye(4, dtype=np.float32)
+    Tm[:2, :2] = 1.01 * np.array([[c, -s], [s, c]], np.float32)
+    out = np.asarray(orthonormalize_planar(jnp.asarray(Tm)[None]))[0]
+    assert np.allclose(out[:2, :2], [[c, -s], [s, c]], atol=1e-6)
+    assert np.isclose(np.linalg.det(out[:3, :3]), 1.0, atol=1e-6)

@@ -76,3 +76,37 @@ def test_voxel_downsample():
     # Means are genuinely inside their cells (within voxel size of a point).
     d = np.linalg.norm(used[:, None] - pts[None], axis=-1).min(axis=1)
     assert d.max() < 1.0
+
+
+def test_voxel_downsample_center_keeps_nearest_on_overflow():
+    # 6 distinct cells, capacity 3, center at origin: the 3 nearest survive;
+    # pad-sentinel rows never occupy a slot (the sliding-local-map eviction
+    # of vtr's odometry map maintenance).
+    pts = np.array(
+        [[0.1, 0.1, 0], [2.0, 0, 0], [4.0, 0, 0], [8.0, 0, 0],
+         [16.0, 0, 0], [32.0, 0, 0], [1000.0, 1000.0, 1000.0]], np.float32)
+    out = np.asarray(voxel_downsample(
+        jnp.asarray(pts), voxel=0.5, max_out=3, pad_val=1000.0,
+        center=jnp.zeros(3, jnp.float32)))
+    kept = sorted(out[:, 0].tolist())
+    assert np.allclose(kept, [0.1, 2.0, 4.0]), kept
+
+
+def test_voxel_downsample_weighted_mean_persists():
+    # A cell whose row carries weight 9 merged with one new unit-weight point
+    # moves by 1/10 of the offset — NOT half (the EMA failure mode where the
+    # whole history weighs as one point).
+    pts = np.array([[1.0, 1.0, 0.0], [1.2, 1.0, 0.0]], np.float32)
+    w = np.array([9.0, 1.0], np.float32)
+    means, wout = voxel_downsample(
+        jnp.asarray(pts), voxel=2.0, max_out=4, pad_val=1000.0,
+        center=jnp.zeros(3, jnp.float32), weights=jnp.asarray(w))
+    means, wout = np.asarray(means), np.asarray(wout)
+    assert np.isclose(means[0, 0], 1.02, atol=1e-5), means[0]
+    assert np.isclose(wout[0], 10.0), wout
+    # the hash-order (no-center) branch agrees
+    means2, wout2 = voxel_downsample(
+        jnp.asarray(pts), voxel=2.0, max_out=4, pad_val=1000.0,
+        weights=jnp.asarray(w))
+    assert np.isclose(np.asarray(means2)[0, 0], 1.02, atol=1e-5)
+    assert np.isclose(np.asarray(wout2)[0], 10.0)
