@@ -64,7 +64,10 @@ def _torch_from_flax(params):
 
 
 def _scene(rng, B, n_src=128, n_map=512):
-    mp = np.zeros((B, n_map, 3), np.float32)
+    """Wall-segment scene; map is (B, n_map, 6) with per-point wall normals
+    (in-plane perpendicular of each segment direction) so the same scene
+    drives both the pt2pt and pt2pl chain tests."""
+    mp = np.zeros((B, n_map, 6), np.float32)
     src = np.zeros((B, n_src, 3), np.float32)
     for b in range(B):
         ang = rng.uniform(0, 2 * np.pi, 4)
@@ -73,7 +76,9 @@ def _scene(rng, B, n_src=128, n_map=512):
             a = rng.uniform(-8, 8, 2)
             t = rng.uniform(0, 10, n_map // 4 + n_src // 4)
             pts = a[None] + t[:, None] * d[None]
-            mp[b, k * (n_map // 4):(k + 1) * (n_map // 4), :2] = pts[: n_map // 4]
+            sl = slice(k * (n_map // 4), (k + 1) * (n_map // 4))
+            mp[b, sl, :2] = pts[: n_map // 4]
+            mp[b, sl, 3:5] = [-d[1], d[0]]
             src[b, k * (n_src // 4):(k + 1) * (n_src // 4), :2] = (
                 pts[n_map // 4:] + rng.normal(0, 0.02, (n_src // 4, 2)))
     src[..., :2] += np.where(np.abs(src[..., :2]) < 1e-9, 1e-6, 0.0)
@@ -133,3 +138,55 @@ def test_policy_chain_parity():
         f"policy-chain rotation deviation {np.degrees(dr):.4f} deg")
     print(f"[policy parity] mask maxdiff {np.max(np.abs(mask_jax - mask_torch)):.2e}, "
           f"pose dev {dt*100:.4f} cm / {np.degrees(dr):.5f} deg")
+
+
+def test_policy_chain_parity_pt2pl_50iter():
+    """The EVAL configuration end to end: same UNet weights → weights →
+    point-to-plane 50-iteration ICP (the reference's inference solver,
+    `icp_weight_policy.py:54-55` max_iterations=50 + the radar→lidar pt2pl
+    modules, `radar_lidar_config.yaml:219-248`), JAX chain vs torch chain.
+    At convergence the parity budget applies strictly."""
+    rng = np.random.default_rng(11)
+    B = 2
+    img = rng.uniform(0, 1, (B, WIDTH, WIDTH)).astype(np.float32)
+
+    model = UNet(enc_channels=ENC, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, WIDTH, WIDTH, 1)))
+    mask_jax = np.asarray(model.apply(params, jnp.asarray(img)[..., None]))
+    tnet = _torch_from_flax(params)
+    with torch.no_grad():
+        mask_torch = tnet(torch.tensor(img).unsqueeze(1)).numpy()
+
+    src, mp = _scene(rng, B)
+    w_jax, _ = extract_weights(jnp.asarray(mask_jax), jnp.asarray(src),
+                               cart_resolution=CART_RES,
+                               cart_pixel_width=WIDTH)
+    w_torch = extract_weights_torch(
+        torch.tensor(mask_torch), torch.tensor(src),
+        cart_res=CART_RES, width=WIDTH).numpy()
+
+    T0 = np.broadcast_to(np.eye(4), (B, 4, 4)).copy()
+    pert = np.eye(4)
+    pert[0, 3], pert[1, 3] = 0.2, -0.15
+    T0 = T0 @ pert
+    cfg = ICPConfig(icp_type="pt2pl", max_iterations=50, differentiable=True,
+                    trim_dist=5.0, loss_name="cauchy", loss_metric=1.0, dim=2)
+    T_jax = np.asarray(
+        icp(src.astype(np.float64), mp.astype(np.float64), T0,
+            weight=np.asarray(w_jax, np.float64), cfg=cfg)["T"])
+    T_torch = torch_icp(
+        torch.tensor(src, dtype=torch.float64),
+        torch.tensor(mp[..., :3], dtype=torch.float64),
+        torch.tensor(T0, dtype=torch.float64),
+        torch.tensor(w_torch, dtype=torch.float64),
+        iters=50,
+        normals=torch.tensor(mp[..., 3:6], dtype=torch.float64),
+    ).numpy()
+    dt = np.linalg.norm(T_jax[:, :2, 3] - T_torch[:, :2, 3], axis=-1).max()
+    dR = np.einsum("bij,bkj->bik", T_jax[:, :2, :2], T_torch[:, :2, :2])
+    dr = np.abs(np.arctan2(dR[:, 1, 0], dR[:, 0, 0])).max()
+    assert dt <= 0.01, f"pt2pl policy-chain translation dev {dt*100:.3f} cm"
+    assert dr <= np.radians(0.05), (
+        f"pt2pl policy-chain rotation dev {np.degrees(dr):.4f} deg")
+    print(f"[policy parity pt2pl/50] pose dev {dt*100:.4f} cm / "
+          f"{np.degrees(dr):.5f} deg")
