@@ -186,6 +186,27 @@ class Config:
         return self.loss.icp_rot > 0.0 and self.loss.icp_trans > 0.0
 
     @staticmethod
+    def from_dict(d: dict) -> "Config":
+        """Inverse of ``dataclasses.asdict`` (the form ``Trainer.fit`` writes
+        to ``<checkpoint_dir>/config.json``): rebuild the typed tree so a
+        trained run's exact configuration can be reloaded — e.g. by the
+        localization CLI's ``--checkpoint`` mask-in-the-loop mode."""
+
+        def tup(x):
+            return tuple(x) if isinstance(x, list) else x
+
+        model = {k: tup(v) for k, v in d.get("model", {}).items()}
+        pairs = lambda ps: tuple(tuple(p) for p in ps)  # noqa: E731
+        return Config(
+            model=ModelConfig(**model),
+            data=DataConfig(**d.get("data", {})),
+            train=TrainConfig(**d.get("train", {})),
+            loss=LossWeights(**d.get("loss", {})),
+            train_loc_pairs=pairs(d.get("train_loc_pairs", ())),
+            val_loc_pairs=pairs(d.get("val_loc_pairs", ())),
+        )
+
+    @staticmethod
     def from_reference_params(params: dict, **extra) -> "Config":
         """Build a Config from the reference's ``params`` dict
         (`train_icp_weights.py:354-410`) — 1:1 key mapping for users migrating

@@ -55,6 +55,22 @@ def _stamp_of(path: str) -> int:
     return int(stem.removeprefix("frame_"))
 
 
+def _parse_det_kwargs(items) -> tuple:
+    """--det KEY=VALUE list → detector kwargs tuple (ints stay ints: window
+    widths are static shapes)."""
+    out = []
+    for it in items or ():
+        k, _, v = it.partition("=")
+        if not _:
+            raise SystemExit(f"--det expects KEY=VALUE, got {it!r}")
+        try:
+            val = int(v)
+        except ValueError:
+            val = float(v)
+        out.append((k, val))
+    return tuple(out)
+
+
 def _load_radar_frames(paths: list[str]):
     """Decode raw Navtech scans → stacked {'fft','azimuths','az_times'}."""
     from mm_masking_tpu.data.dataset import _decode_radar_file
@@ -66,9 +82,9 @@ def _load_radar_frames(paths: list[str]):
         azs.append(az)
         azts.append(azt)
     return {
-        "fft": np.stack(ffts),
-        "azimuths": np.stack(azs),
-        "az_times": np.stack(azts),
+        "fft": np.stack(ffts).astype(np.float32),
+        "azimuths": np.stack(azs).astype(np.float32),
+        "az_times": np.stack(azts).astype(np.float32),
     }
 
 
@@ -117,6 +133,7 @@ def cmd_teach(args) -> int:
         paths = paths[: args.limit]
     stamps = [_stamp_of(p) for p in paths]
     loc_cfg = LocalizationConfig(detector=args.detector,
+                                 detector_kwargs=_parse_det_kwargs(args.det),
                                  max_points=args.max_points)
     if kind == "radar":
         clouds = _extract_clouds(_load_radar_frames(paths), loc_cfg,
@@ -181,6 +198,7 @@ def cmd_datagen(args) -> int:
         map_sensor=args.map_sensor,
         loc_sensor=args.loc_sensor,
         detector=args.detector,
+        detector_kwargs=_parse_det_kwargs(args.det),
         max_points=args.max_points,
         batch_size=args.batch_size,
         max_map_pts=args.max_map_pts,
@@ -225,6 +243,7 @@ def cmd_localize(args) -> int:
         # z-normal read and the pipeline's (M, 6) contract hold.
         map_pc = np.concatenate([map_pc, np.zeros_like(map_pc)], axis=-1)
     cfg = LocalizationConfig(detector=args.detector,
+                             detector_kwargs=_parse_det_kwargs(args.det),
                              max_points=args.max_points,
                              icp_type=args.icp_type,
                              normal_threshold=args.normal_threshold,
@@ -232,11 +251,41 @@ def cmd_localize(args) -> int:
                              nn_refresh_dist=args.nn_refresh_dist,
                              max_step_m=args.max_step)
 
+    weight_policy = policy_variables = None
+    if args.checkpoint:
+        # Learned-mask-in-the-loop localization (the reference deployment
+        # forks' LibTorch mask inference inside vtr3, SURVEY.md §2.3): the
+        # trained run's config.json rebuilds the exact policy, the orbax
+        # checkpoint supplies the UNet weights, and `localize_sequence` runs
+        # mask inference per frame inside the fused program.
+        if kind != "radar":
+            raise SystemExit(
+                "--checkpoint needs raw radar scans (the mask is computed "
+                "from the scan image); converter shards carry clouds only"
+            )
+        from mm_masking_tpu.config import Config
+        from mm_masking_tpu.models import LearnICPWeightPolicy
+        from mm_masking_tpu.train.checkpoint import load_policy_variables
+
+        cfg_path = osp.join(args.checkpoint, "config.json")
+        if not osp.exists(cfg_path):
+            raise SystemExit(
+                f"{cfg_path} not found — train with this repo's Trainer "
+                "(it writes the run config next to its checkpoints)"
+            )
+        run_cfg = Config.from_dict(json.load(open(cfg_path)))
+        weight_policy = LearnICPWeightPolicy(run_cfg)
+        policy_variables = load_policy_variables(
+            args.checkpoint, args.checkpoint_name)
+        print(f"localize: learned mask from {args.checkpoint} "
+              f"({args.checkpoint_name})")
+
     if kind == "radar":
         frames = _load_radar_frames(paths)
         out = localize_sequence_to_traj(
             frames, jnp.asarray(map_pc), stamps, args.out_traj, cfg=cfg,
             batch_size=args.batch_size,
+            weight_policy=weight_policy, policy_variables=policy_variables,
         )
     else:
         # Converter shards: pre-extracted clouds skip the detector but run
@@ -281,6 +330,11 @@ def main(argv=None) -> int:
     common.add_argument("--scans", required=True,
                         help="directory of radar scans or converter shards")
     common.add_argument("--detector", default="modified_cacfar")
+    common.add_argument("--det", action="append", default=[],
+                        metavar="KEY=VALUE",
+                        help="detector tunable, repeatable (e.g. --det "
+                             "width=41 --det maxr=15.0 — the "
+                             "radar_config.yaml:87-118 surface)")
     common.add_argument("--max-points", type=int, default=4096)
     common.add_argument("--batch-size", type=int, default=8)
     common.add_argument("--limit", type=int, default=-1,
@@ -317,6 +371,13 @@ def main(argv=None) -> int:
                             " + run_eval.sh)")
     l.add_argument("--map", required=True, help="map npz (map_pc (M, 6))")
     l.add_argument("--out-traj", required=True)
+    l.add_argument("--checkpoint", default="",
+                   help="trained run dir (results/checkpoints/<run>): apply "
+                        "its UNet mask inside the localization loop (the "
+                        "deployment-fork mask inference)")
+    l.add_argument("--checkpoint-name", default="best_policy",
+                   help="checkpoint entry inside --checkpoint "
+                        "(best_policy | epoch_N)")
     l.add_argument("--map-gt", default="",
                    help="Applanix GT CSV of the map (teach) sequence")
     l.add_argument("--loc-gt", default="",
@@ -347,6 +408,8 @@ def main(argv=None) -> int:
     g.add_argument("--loc-sensor", default="radar",
                    choices=("radar", "lidar"))
     g.add_argument("--detector", default="modified_cacfar")
+    g.add_argument("--det", action="append", default=[], metavar="KEY=VALUE",
+                   help="detector tunable, repeatable")
     g.add_argument("--max-points", type=int, default=1024)
     g.add_argument("--batch-size", type=int, default=8)
     g.add_argument("--max-map-pts", type=int, default=16384)

@@ -219,8 +219,15 @@ _localize_frame_jit = jax.jit(
 )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _localize_sequence_fused(fft, az, azt, map_b, T0, cfg):
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mask_fn", "mask_cart_resolution",
+                     "mask_cart_width"),
+)
+def _localize_sequence_fused(fft, az, azt, map_b, T0, cfg, mask_fn=None,
+                             mask_variables=None,
+                             mask_cart_resolution=0.2384,
+                             mask_cart_width=640):
     """All chunks in ONE device program: `lax.map` over the chunk axis.
 
     Replaces the per-chunk Python dispatch loop (a host→device round-trip
@@ -228,11 +235,22 @@ def _localize_sequence_fused(fft, az, azt, map_b, T0, cfg):
     the final concatenate) with a single dispatch + single sync — the
     device pipelines chunk k+1 while chunk k's results are still in flight.
     fft (C, B, A, R); az/azt (C, B, A); map_b (B, M, 6) shared; T0 (C, B, 4, 4).
+
+    `mask_fn(mask_variables, fft_chunk, az_chunk)` (static, e.g. a trained
+    policy's `mask_for_scan`) runs learned-mask inference INSIDE the same
+    fused program, weighting the ICP per frame — the deployment-fork path.
     """
 
     def body(chunk):
         f, a, t, T = chunk
-        return localize_frame(f, a, t, map_b, T, cfg=cfg)
+        wm = None
+        if mask_fn is not None:
+            wm = mask_fn(mask_variables, f, a)
+        return localize_frame(
+            f, a, t, map_b, T, cfg=cfg, weight_mask=wm,
+            mask_cart_resolution=mask_cart_resolution,
+            mask_cart_width=mask_cart_width,
+        )
 
     return jax.lax.map(body, (fft, az, azt, T0))
 
@@ -268,6 +286,8 @@ def localize_sequence(
     T_inits=None,
     batch_size: int = 8,
     mesh=None,
+    weight_policy=None,
+    policy_variables=None,
 ):
     """Localize a whole sequence against one map, batching frames through a
     single jitted `localize_frame` program (replaces the reference's 6-way
@@ -281,6 +301,11 @@ def localize_sequence(
     runs inside ONE fused program (`lax.map` over chunks: one dispatch, one
     sync); with a mesh, the SAME fused program runs with each chunk's batch
     axis sharded over the devices.
+
+    `weight_policy` + `policy_variables` (a `LearnICPWeightPolicy` and its
+    trained variables) run learned-mask inference per frame inside the same
+    fused program and weight the ICP with the mask — the reference
+    deployment forks' LibTorch in-the-loop mask inference (SURVEY.md §2.3).
 
     Returns a dict of stacked results over all F frames
     ({'T', 'points', 'weights', 'matched_ratio', 'ok'}).
@@ -307,11 +332,22 @@ def localize_sequence(
         map_pc = map_pc[None]
     map_b = jnp.broadcast_to(map_pc, (batch_size,) + map_pc.shape[1:])
 
+    mask_kw = {}
+    if weight_policy is not None:
+        pm = weight_policy.cfg.model
+        mask_kw = dict(
+            mask_fn=weight_policy.mask_for_scan,
+            mask_variables=policy_variables,
+            mask_cart_resolution=pm.cart_resolution,
+            mask_cart_width=pm.cart_pixel_width,
+        )
+
     if mesh is None:
         (fft, az, azt, T0), _ = _pad_chunk(
             (frames["fft"], frames["azimuths"], frames["az_times"], T_inits),
             F, batch_size)
-        out = _localize_sequence_fused(fft, az, azt, map_b, T0, cfg=cfg)
+        out = _localize_sequence_fused(fft, az, azt, map_b, T0, cfg=cfg,
+                                       **mask_kw)
         return jax.tree.map(
             lambda x: x.reshape((-1,) + x.shape[2:])[:F], out)
 
@@ -328,7 +364,8 @@ def localize_sequence(
     with mesh:
         fft, az, azt, T0 = shard_axis((fft, az, azt, T0), mesh, axis=1)
         map_b = shard_batch(map_b, mesh)
-        out = _localize_sequence_fused(fft, az, azt, map_b, T0, cfg=cfg)
+        out = _localize_sequence_fused(fft, az, azt, map_b, T0, cfg=cfg,
+                                       **mask_kw)
     return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:])[:F], out)
 
 
@@ -390,6 +427,8 @@ def localize_sequence_to_traj(
     T_inits=None,
     batch_size: int = 8,
     mesh=None,
+    weight_policy=None,
+    policy_variables=None,
 ) -> dict:
     """Run :func:`localize_sequence` and write a trajectory file that
     `evaluation.gt_tools.eval_localization_run` consumes (closing the
@@ -405,7 +444,9 @@ def localize_sequence_to_traj(
     from mm_masking_tpu.geom import se3_inv
 
     out = localize_sequence(frames, map_pc, cfg=cfg, T_inits=T_inits,
-                            batch_size=batch_size, mesh=mesh)
+                            batch_size=batch_size, mesh=mesh,
+                            weight_policy=weight_policy,
+                            policy_variables=policy_variables)
     T_loc_map = np.asarray(se3_inv(out["T"]))
     write_traj_file(out_path, list(T_loc_map), [int(t) for t in times_us])
     return out

@@ -169,6 +169,61 @@ class LearnICPWeightPolicy:
             mask = self.unet.apply(variables, x, train=train, rngs=rngs)
         return mask.astype(jnp.float32), updates
 
+    # -- deployment-path mask: raw polar scan → cartesian weight mask -------
+    def mask_for_scan(
+        self,
+        variables: Any,
+        fft_polar: jax.Array,
+        azimuths: jax.Array,
+    ) -> jax.Array:
+        """(B, A, R) raw polar power + (B, A) azimuths → (B, Wc, Wc)
+        cartesian weight mask, ready for `extract_weights` at scan points.
+
+        The in-the-loop inference path the reference's deployment forks run
+        with LibTorch inside vtr3 (SURVEY.md §2.3 LibTorch row): assemble the
+        network input from the raw scan alone (CFAR channel computed here
+        when configured, polar→cartesian warp when the network eats
+        cartesian), then the same compute_mask → norm_weights → binary →
+        output-warp chain as the training-time forward
+        (`icp_weight_policy.py:127-196` semantics). Note the batch-global
+        normalization: statistics are over whatever batch of frames is
+        passed, exactly like validation batches in the reference.
+        """
+        from mm_masking_tpu.ops import cfar_mask
+
+        m = self.cfg.model
+        fft_in, cfar_in = fft_polar, None
+        if m.cfar_input:
+            cfar_in = cfar_mask(
+                fft_polar, m.res, a_thresh=m.a_thresh, b_thresh=m.b_thresh,
+                diff=False,
+            )
+        if m.network_input_type == "cartesian":
+            fft_in = radar_polar_to_cartesian(
+                fft_polar, azimuths, m.res, m.cart_resolution,
+                m.cart_pixel_width,
+            )
+            if cfar_in is not None:
+                cfar_in = radar_polar_to_cartesian(
+                    cfar_in, azimuths, m.res, m.cart_resolution,
+                    m.cart_pixel_width,
+                )
+        weight_mask, _ = self.compute_mask(
+            variables, fft_in, cfar_in, train=False
+        )
+        if m.norm_weights:
+            weight_mask = jnp.minimum(
+                weight_mask / _safe_amax_hw(weight_mask), 1.0
+            )
+        if m.binary_inference:
+            weight_mask = jnp.where(weight_mask > 0.5, 1.0, 0.0)
+        if m.network_output_type == "polar":
+            weight_mask = radar_polar_to_cartesian(
+                weight_mask, azimuths, m.res, m.cart_resolution,
+                m.cart_pixel_width,
+            )
+        return weight_mask
+
     # -- full forward ------------------------------------------------------
     def apply(
         self,

@@ -159,7 +159,11 @@ def extract_pc(
 
     def scatter_channel(ch):
         buf = jnp.zeros((B, slots + 1), ch.dtype)
-        buf = buf.at[rows, idx].set(jnp.where(valid, ch, 0.0))
+        # Fill value typed to the channel: a weak 0.0 promotes integer
+        # channels (raw ns az_times) to f32 and the f32→int scatter is a
+        # FutureWarning today, an error in future JAX.
+        zero = jnp.zeros((), ch.dtype)
+        buf = buf.at[rows, idx].set(jnp.where(valid, ch, zero))
         return buf[:, :slots]
 
     # Reference pairing: ends = nonzero[0::2], starts = nonzero[1::2].

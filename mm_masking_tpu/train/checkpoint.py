@@ -31,6 +31,21 @@ def restore_checkpoint(directory: str, name: str, template: Any) -> Any:
     return ckptr.restore(path, template)
 
 
+def load_policy_variables(directory: str, name: str = "best_policy") -> Any:
+    """Restore ONLY the flax variables from a saved ``TrainState`` checkpoint,
+    without reconstructing the optimizer (whose state tree a pure-inference
+    consumer — e.g. the localization CLI's ``--checkpoint`` mode — neither has
+    nor needs). Orbax restores the raw pytree when no template is given; the
+    ``TrainState`` NamedTuple comes back as a sequence whose first leaf-tree
+    is ``variables`` (see ``trainer.TrainState``)."""
+    path = _path(directory, name)
+    ckptr = ocp.StandardCheckpointer()
+    raw = ckptr.restore(path)
+    if isinstance(raw, dict) and "variables" in raw:
+        return raw["variables"]
+    return raw[0]
+
+
 def latest_epoch(directory: str) -> int | None:
     """Highest N among 'epoch_N' entries in the directory, if any."""
     if not os.path.isdir(directory):

@@ -16,6 +16,7 @@ per-epoch checkpoints → final best validation) with the torch loop replaced by
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import time
 from typing import Any, Callable, Iterable, NamedTuple
@@ -361,6 +362,12 @@ class Trainer:
         # tracker at run init (`train_icp_weights.py:354`); mirror that via
         # the optional uploader (no-op without MM_UPLOAD_URL).
         log.uploader.log_params(log.run_name, dataclasses.asdict(cfg))
+        # Persist the run's exact configuration next to its checkpoints so
+        # downstream consumers (the localization CLI's --checkpoint mode,
+        # Config.from_dict) can rebuild the policy without guessing shapes.
+        os.makedirs(ckpt_dir, exist_ok=True)
+        with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=1)
 
         t0 = time.time()
         tr_init, tr_ones = self.generate_baseline(

@@ -115,3 +115,85 @@ def test_cli_refuses_map_without_normals(tmp_path, world):
     with pytest.raises(SystemExit, match="normals"):
         main(["localize", "--scans", str(rep), "--map", bad_map,
               "--out-traj", str(tmp_path / "t.txt")])
+
+
+def _write_raw_scans(d, world, poses, stamps, A=64, R=512, res=15.0 / 512):
+    """Raw Navtech .npy images (load_radar layout: int64 stamp bytes 0-7,
+    uint16 encoder bytes 8-9, power cols 11+) rendered from world points."""
+    d.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(3)
+    for T_wr, st in zip(poses, stamps):
+        Ti = np.linalg.inv(T_wr)
+        s = world @ Ti[:3, :3].T + Ti[:3, 3]
+        rr = np.hypot(s[:, 0], s[:, 1])
+        aa = np.mod(np.arctan2(s[:, 1], s[:, 0]), 2 * np.pi)
+        keep = (rr > 2.0) & (rr < (R - 4) * res)
+        ai = np.clip((aa[keep] / (2 * np.pi / A)).astype(int), 0, A - 1)
+        ri = np.clip((rr[keep] / res).astype(int), 0, R - 3)
+        fft = (0.03 * rng.random((A, R))).astype(np.float32)
+        for dd in range(2):
+            fft[ai, ri + dd] = np.maximum(fft[ai, ri + dd], 0.85 - 0.2 * dd)
+        img = np.zeros((A, 11 + R), np.uint8)
+        ts = (np.arange(A, dtype=np.int64) * 400)
+        img[:, :8] = np.frombuffer(ts.tobytes(), np.uint8).reshape(A, 8)
+        enc = (np.arange(A, dtype=np.float64) / A * 5600).astype(np.uint16)
+        img[:, 8:10] = np.frombuffer(enc.tobytes(), np.uint8).reshape(A, 2)
+        img[:, 11:] = np.clip(fft * 255, 0, 255).astype(np.uint8)
+        np.save(d / f"{st}.npy", img)
+
+
+def test_cli_localize_with_learned_mask_checkpoint(tmp_path, world):
+    """--checkpoint drives the learned-mask-in-the-loop path end to end:
+    Trainer-format orbax checkpoint + config.json → policy rebuild → mask
+    inference inside the fused localization program (the deployment-fork
+    flow; SURVEY.md §2.3 LibTorch row)."""
+    import dataclasses
+
+    import jax
+
+    from mm_masking_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from mm_masking_tpu.train.checkpoint import save_checkpoint
+    from mm_masking_tpu.train.trainer import Trainer
+
+    A, R, res = 64, 512, 15.0 / 512
+    raw_dir = tmp_path / "raw"
+    reps = [(0.2 * i, 0.04 * i, 0.02 * i) for i in range(4)]
+    stamps = [3_000_000 + 100_000 * i for i in range(4)]
+    _write_raw_scans(raw_dir, world, [_planar_T(*r) for r in reps], stamps,
+                     A=A, R=R, res=res)
+    map_npz = str(tmp_path / "map.npz")
+    np.savez_compressed(map_npz, map_pc=world.astype(np.float32))
+
+    ck = tmp_path / "run"
+    cfg = Config(
+        model=ModelConfig(enc_channels=(4, 8), dropout=0.0, res=res,
+                          polar_shape=(A, R), cart_pixel_width=64,
+                          cart_resolution=0.5),
+        data=DataConfig(max_loc_pts=256, max_map_pts=1024),
+        train=TrainConfig(checkpoint_dir=str(ck), num_devices=1),
+    )
+    trainer = Trainer(cfg)
+    save_checkpoint(str(ck), "best_policy", trainer.init_state())
+    with open(ck / "config.json", "w") as f:
+        json.dump(dataclasses.asdict(cfg), f)
+
+    traj = str(tmp_path / "traj_mask.txt")
+    rc = main(["localize", "--scans", str(raw_dir), "--map", map_npz,
+               "--out-traj", traj, "--checkpoint", str(ck),
+               "--max-points", "256", "--batch-size", "2",
+               "--icp-type", "pt2pt", "--normal-threshold", "1.0",
+               "--det", "width=21", "--det", "guard=2", "--det", "maxr=15.0"])
+    assert rc == 0
+    rows = open(traj).read().splitlines()
+    assert len(rows) == 4
+    first = np.asarray([float(v) for v in rows[0].split()])
+    Rm = first[1:].reshape(3, 4)[:, :3]
+    np.testing.assert_allclose(Rm @ Rm.T, np.eye(3), atol=1e-4)
+
+    # a shard directory must be refused (mask needs the raw image)
+    shard_dir = tmp_path / "shards"
+    _write_shards(shard_dir, world, [_planar_T(*r) for r in reps], stamps,
+                  np.random.default_rng(0))
+    with pytest.raises(SystemExit):
+        main(["localize", "--scans", str(shard_dir), "--map", map_npz,
+              "--out-traj", traj, "--checkpoint", str(ck)])

@@ -270,3 +270,70 @@ def test_matched_ratio_gate_fails_on_wrong_map():
     out = localize_cloud_sequence(clouds, jnp.asarray(wrong_map), cfg=cfg,
                                   batch_size=3)
     assert not bool(np.asarray(out["ok"]).any())
+
+
+def test_localize_sequence_learned_mask_in_the_loop():
+    """A trained (here random-init) policy's UNet mask weights the ICP
+    INSIDE the fused sequence program — the reference deployment forks'
+    in-the-loop LibTorch mask inference (SURVEY.md §2.3 LibTorch row).
+    The plumbing must equal the manual chain (mask_for_scan →
+    localize_frame(weight_mask=…)) and actually change the per-point
+    weights vs the uniform path."""
+    import jax
+
+    from mm_masking_tpu.config import Config, ModelConfig
+    from mm_masking_tpu.localization import localize_sequence
+    from mm_masking_tpu.localization.pipeline import localize_frame
+    from mm_masking_tpu.models import LearnICPWeightPolicy
+
+    b = synthetic_batch(5, batch=4, spec=SPEC)
+    frames = {
+        "fft": b["loc_data"]["fft_data"],
+        "azimuths": b["loc_data"]["azimuths"],
+        "az_times": b["loc_data"]["az_times"],
+    }
+    cfg = LocalizationConfig(
+        detector="modified_cacfar",
+        detector_kwargs=(("width", 21), ("guard", 2), ("maxr", 15.0)),
+        radar_resolution=SPEC.res, max_points=256, beta=0.0,
+        icp_type="pt2pl", refined_max_iter=8,
+    )
+    pol_cfg = Config(model=ModelConfig(
+        enc_channels=(4, 8), dropout=0.0,
+        res=SPEC.res, polar_shape=SPEC.polar_shape,
+        cart_pixel_width=SPEC.cart_pixel_width,
+        cart_resolution=SPEC.cart_resolution,
+    ))
+    policy = LearnICPWeightPolicy(pol_cfg)
+    variables = policy.init(jax.random.PRNGKey(0))
+    map_pc = b["map_data"]["pc"][:1]
+    T0 = b["transforms"]["T_ml_init"]
+
+    out_uni = localize_sequence(frames, map_pc, cfg=cfg, T_inits=T0,
+                                batch_size=4)
+    out_mask = localize_sequence(frames, map_pc, cfg=cfg, T_inits=T0,
+                                 batch_size=4, weight_policy=policy,
+                                 policy_variables=variables)
+
+    # One chunk (F == batch_size): the fused path must equal the manual chain.
+    wm = policy.mask_for_scan(variables, frames["fft"], frames["azimuths"])
+    assert wm.shape == (4, SPEC.cart_pixel_width, SPEC.cart_pixel_width)
+    ref = localize_frame(
+        frames["fft"], frames["azimuths"], frames["az_times"],
+        jnp.broadcast_to(map_pc, (4,) + map_pc.shape[1:]), T0, cfg=cfg,
+        weight_mask=wm,
+        mask_cart_resolution=SPEC.cart_resolution,
+        mask_cart_width=SPEC.cart_pixel_width,
+    )
+    np.testing.assert_allclose(np.asarray(out_mask["T"]),
+                               np.asarray(ref["T"]), rtol=1e-6, atol=1e-6)
+
+    w = np.asarray(out_mask["weights"])
+    pts = np.asarray(out_mask["points"])
+    pad = (pts[..., 0] == 0.0) & (pts[..., 1] == 0.0)
+    assert np.all(w >= 0.0) and np.all(w <= 1.0 + 1e-6)
+    assert np.all(w[pad] == 0.0)  # pad points never weigh in
+    # the mask actually reweights real points (uniform path gives exactly 1)
+    assert np.std(w[~pad]) > 1e-3
+    assert not np.allclose(np.asarray(out_uni["T"]),
+                           np.asarray(out_mask["T"]))
