@@ -251,6 +251,41 @@ def cmd_localize(args) -> int:
                              nn_refresh_dist=args.nn_refresh_dist,
                              max_step_m=args.max_step)
 
+    T_inits = None
+    if args.init_gt:
+        # GT-prior warm starts: the repeat pass in VTR starts each
+        # localization from the pose-graph/odometry prior; against a global
+        # map the equivalent prior is the (perturbed) GT pose — the exact
+        # convention the training dataset uses for its val split
+        # (`icp_weight_dataset.py:260-280`: gaussian x/y/yaw, z/pitch/roll
+        # zeroed). Deterministic under --init-seed.
+        if not args.loc_gt:
+            raise SystemExit("--init-gt needs --loc-gt (the Applanix CSV "
+                             "supplying the prior poses)")
+        from mm_masking_tpu.data.boreas import (
+            get_closest_index,
+            read_traj_file_gt2,
+        )
+        from mm_masking_tpu.data.convert import se3_exp_np
+
+        poses, gt_times = read_traj_file_gt2(args.loc_gt, dim=2)
+        gt_times = list(gt_times)
+        rng = np.random.default_rng(args.init_seed)
+        rows = []
+        for st in stamps:
+            i = get_closest_index(st, gt_times)
+            if gt_times[i] != st:
+                raise SystemExit(
+                    f"--init-gt: scan stamp {st} has no GT row in "
+                    f"{args.loc_gt} (closest: {gt_times[i]})"
+                )
+            xi = np.zeros(6)
+            xi[0] = rng.normal(0.0, args.init_pos_std)
+            xi[1] = rng.normal(0.0, args.init_pos_std)
+            xi[5] = rng.normal(0.0, args.init_rot_std)
+            rows.append(se3_exp_np(xi) @ poses[i])
+        T_inits = np.stack(rows).astype(np.float32)
+
     weight_policy = policy_variables = None
     if args.checkpoint:
         # Learned-mask-in-the-loop localization (the reference deployment
@@ -284,7 +319,7 @@ def cmd_localize(args) -> int:
         frames = _load_radar_frames(paths)
         out = localize_sequence_to_traj(
             frames, jnp.asarray(map_pc), stamps, args.out_traj, cfg=cfg,
-            batch_size=args.batch_size,
+            T_inits=T_inits, batch_size=args.batch_size,
             weight_policy=weight_policy, policy_variables=policy_variables,
         )
     else:
@@ -295,7 +330,7 @@ def cmd_localize(args) -> int:
 
         clouds = _load_shard_clouds(paths, args.max_points)
         out = localize_cloud_sequence(
-            clouds, jnp.asarray(map_pc), cfg=cfg,
+            clouds, jnp.asarray(map_pc), cfg=cfg, T_inits=T_inits,
             batch_size=args.batch_size,
         )
         T_loc_map = np.asarray(se3_inv(out["T"]))
@@ -378,6 +413,15 @@ def main(argv=None) -> int:
     l.add_argument("--checkpoint-name", default="best_policy",
                    help="checkpoint entry inside --checkpoint "
                         "(best_policy | epoch_N)")
+    l.add_argument("--init-gt", action="store_true",
+                   help="warm-start each frame from its (perturbed) GT pose "
+                        "in --loc-gt — the repeat pass's pose-graph prior "
+                        "against a global map")
+    l.add_argument("--init-pos-std", type=float, default=0.0,
+                   help="gaussian x/y perturbation of the --init-gt prior (m)")
+    l.add_argument("--init-rot-std", type=float, default=0.0,
+                   help="gaussian yaw perturbation of the --init-gt prior (rad)")
+    l.add_argument("--init-seed", type=int, default=99)
     l.add_argument("--map-gt", default="",
                    help="Applanix GT CSV of the map (teach) sequence")
     l.add_argument("--loc-gt", default="",

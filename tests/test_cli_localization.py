@@ -197,3 +197,49 @@ def test_cli_localize_with_learned_mask_checkpoint(tmp_path, world):
     with pytest.raises(SystemExit):
         main(["localize", "--scans", str(shard_dir), "--map", map_npz,
               "--out-traj", traj, "--checkpoint", str(ck)])
+
+
+def test_cli_localize_init_gt_warm_start(tmp_path, world):
+    """--init-gt warm-starts each frame from its (perturbed) GT pose — the
+    repeat pass's pose-graph prior against a global map. With a far-from-
+    origin repeat (beyond trim_dist) identity inits cannot converge, the GT
+    prior must."""
+    rng = np.random.default_rng(9)
+    rep_dir = tmp_path / "repeat"
+    # poses ~12 m from the origin: far outside the 5 m pairing distance
+    reps = [(12.0 + 0.3 * i, 3.0 - 0.2 * i, 0.05 * i) for i in range(4)]
+    rep_poses = [_planar_T(*r) for r in reps]
+    stamps = [5_000_000 + 100_000 * i for i in range(4)]
+    _write_shards(rep_dir, world, rep_poses, stamps, rng)
+    map_npz = str(tmp_path / "map.npz")
+    np.savez_compressed(map_npz, map_pc=world.astype(np.float32))
+
+    loc_csv = str(tmp_path / "loc_gt.csv")
+    with open(loc_csv, "w") as f:
+        f.write("GPSTime,easting,northing,altitude,ve,vn,vu,"
+                "roll,pitch,heading\n")
+        for t_us, (x, y, h) in zip(stamps, reps):
+            f.write(f"{t_us/1e6:.6f},{x},{y},0,0,0,0,0,0,{h}\n")
+    map_csv = str(tmp_path / "map_gt.csv")
+    with open(map_csv, "w") as f:
+        f.write("GPSTime,easting,northing,altitude,ve,vn,vu,"
+                "roll,pitch,heading\n0.000001,0,0,0,0,0,0,0,0,0\n")
+
+    traj = str(tmp_path / "traj.txt")
+    stats_json = str(tmp_path / "stats.json")
+    rc = main(["localize", "--scans", str(rep_dir), "--map", map_npz,
+               "--out-traj", traj, "--map-gt", map_csv, "--loc-gt", loc_csv,
+               "--stats", stats_json, "--init-gt", "--init-pos-std", "0.3",
+               "--init-rot-std", "0.05", "--max-points", "1024",
+               "--batch-size", "2", "--icp-type", "pt2pt",
+               "--normal-threshold", "1.0"])
+    assert rc == 0
+    stats = json.load(open(stats_json))
+    assert stats["n_frames"] == 4
+    # the GT-prior warm start must let ICP converge from 12+ m away
+    assert stats["trans_rmse"] < 0.15, stats
+
+    # --init-gt without --loc-gt is refused
+    with pytest.raises(SystemExit):
+        main(["localize", "--scans", str(rep_dir), "--map", map_npz,
+              "--out-traj", traj, "--init-gt"])
