@@ -36,16 +36,21 @@ import numpy as np
 
 
 def _scan_files(scan_dir: str) -> tuple[str, list[str]]:
-    """Detect directory kind → ('radar'|'shards', sorted file list)."""
+    """Detect directory kind → ('radar'|'lidar'|'shards', sorted file list)."""
     files = sorted(os.listdir(scan_dir))
     shards = [f for f in files if f.startswith("frame_") and f.endswith(".npz")]
     if shards:
         return "shards", [osp.join(scan_dir, f) for f in shards]
+    bins = [f for f in files if f.endswith(".bin")]
+    if bins:
+        # Boreas lidar frames (float32 (N, 6) binaries) — the teach sensor of
+        # the reference's flagship radar_lidar configuration.
+        return "lidar", [osp.join(scan_dir, f) for f in bins]
     scans = [f for f in files if f.endswith((".png", ".npy"))]
     if not scans:
         raise SystemExit(
-            f"{scan_dir}: no radar scans (*.png/*.npy) or converter shards "
-            f"(frame_*.npz) found"
+            f"{scan_dir}: no radar scans (*.png/*.npy), lidar frames "
+            f"(*.bin), or converter shards (frame_*.npz) found"
         )
     return "radar", [osp.join(scan_dir, f) for f in scans]
 
@@ -97,6 +102,26 @@ def _load_shard_clouds(paths: list[str], max_pts: int) -> np.ndarray:
     return out
 
 
+def _load_lidar_clouds(paths: list[str], max_pts: int) -> np.ndarray:
+    """(F, max_pts, 3) clouds from Boreas lidar .bin frames, random-
+    subsampled to the static cap (same convention as datagen's loader)."""
+    from mm_masking_tpu.data.boreas import load_pc_from_file
+
+    rng = np.random.default_rng(0)
+    out = np.zeros((len(paths), max_pts, 3), np.float32)
+    for i, p in enumerate(paths):
+        pc = load_pc_from_file(p)[:, :3]
+        if pc.shape[0] > max_pts:
+            pc = pc[rng.permutation(pc.shape[0])[:max_pts]]
+        out[i, : pc.shape[0]] = pc
+    return out
+
+
+def _clouds_for(kind: str, paths: list[str], max_pts: int) -> np.ndarray:
+    return (_load_lidar_clouds if kind == "lidar" else _load_shard_clouds)(
+        paths, max_pts)
+
+
 def _extract_clouds(frames: dict, cfg, batch_size: int) -> np.ndarray:
     """Detector + peak extraction over stacked radar frames → (F, N, 3)."""
     import functools
@@ -139,7 +164,7 @@ def cmd_teach(args) -> int:
         clouds = _extract_clouds(_load_radar_frames(paths), loc_cfg,
                                  args.batch_size)
     else:
-        clouds = _load_shard_clouds(paths, args.max_points)
+        clouds = _clouds_for(kind, paths, args.max_points)
 
     teach = TeachPass(OdometryConfig(max_map_pts=args.max_map_pts))
     for i in range(clouds.shape[0]):
@@ -328,7 +353,7 @@ def cmd_localize(args) -> int:
         # matched-ratio gate) via localize_cloud_sequence.
         from mm_masking_tpu.localization import localize_cloud_sequence
 
-        clouds = _load_shard_clouds(paths, args.max_points)
+        clouds = _clouds_for(kind, paths, args.max_points)
         out = localize_cloud_sequence(
             clouds, jnp.asarray(map_pc), cfg=cfg, T_inits=T_inits,
             batch_size=args.batch_size,

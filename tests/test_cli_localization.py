@@ -243,3 +243,25 @@ def test_cli_localize_init_gt_warm_start(tmp_path, world):
     with pytest.raises(SystemExit):
         main(["localize", "--scans", str(rep_dir), "--map", map_npz,
               "--out-traj", traj, "--init-gt"])
+
+
+def test_cli_teach_from_lidar_bins(tmp_path, world):
+    """The flagship radar_lidar teach sensor is LIDAR: `teach` must consume
+    Boreas .bin frames ((N, 6) float32) directly, like datagen does."""
+    ldir = tmp_path / "lidar"
+    ldir.mkdir()
+    rng = np.random.default_rng(1)
+    for st in (1_000_000, 1_100_000, 1_200_000):
+        s = world + rng.normal(0, 0.01, world.shape).astype(np.float32)
+        np.concatenate([s, np.zeros_like(s)], 1).astype(np.float32).tofile(
+            ldir / f"{st}.bin")
+    map_npz = str(tmp_path / "map.npz")
+    rc = main(["teach", "--scans", str(ldir), "--out-map", map_npz,
+               "--max-points", "1024", "--max-map-pts", "2048"])
+    assert rc == 0
+    m = np.load(map_npz)["map_pc"]
+    assert m.shape[-1] == 6
+    # the map must actually cover the world (teach consumed the bins)
+    real = m[(np.abs(m[:, :3]) < 900).all(-1)][:, :2]
+    d = np.sqrt(((world[::10, None, :2] - real[None]) ** 2).sum(-1)).min(1)
+    assert np.median(d) < 0.5, np.median(d)
