@@ -5,6 +5,7 @@ from mm_masking_tpu.localization.pipeline import (
     localize_frame,
     localize_sequence,
     localize_sequence_to_traj,
+    localize_sequence_tracked,
     project_map,
 )
 from mm_masking_tpu.localization.odometry import OdometryConfig, TeachPass
@@ -21,5 +22,6 @@ __all__ = [
     "localize_frame",
     "localize_sequence",
     "localize_sequence_to_traj",
+    "localize_sequence_tracked",
     "project_map",
 ]

@@ -340,7 +340,29 @@ def cmd_localize(args) -> int:
         print(f"localize: learned mask from {args.checkpoint} "
               f"({args.checkpoint_name})")
 
-    if kind == "radar":
+    if args.init_chain:
+        # Prior-free repeat-pass tracking: frame k warm-starts from the
+        # constant-velocity extrapolation of the previous two solutions
+        # (the role VTR's live odometry plays in the repeat pass). T0 comes
+        # from --init-gt's first frame when both are given, else identity.
+        from mm_masking_tpu.geom import se3_inv as _inv
+        from mm_masking_tpu.localization import localize_sequence_tracked
+
+        T0 = T_inits[0] if T_inits is not None else None
+        if kind == "radar":
+            out = localize_sequence_tracked(
+                _load_radar_frames(paths), jnp.asarray(map_pc), cfg=cfg,
+                T0=T0, weight_policy=weight_policy,
+                policy_variables=policy_variables,
+            )
+        else:
+            out = localize_sequence_tracked(
+                None, jnp.asarray(map_pc), cfg=cfg, T0=T0,
+                clouds=_clouds_for(kind, paths, args.max_points),
+            )
+        write_traj_file(args.out_traj, list(np.asarray(_inv(out["T"]))),
+                        stamps)
+    elif kind == "radar":
         frames = _load_radar_frames(paths)
         out = localize_sequence_to_traj(
             frames, jnp.asarray(map_pc), stamps, args.out_traj, cfg=cfg,
@@ -447,6 +469,12 @@ def main(argv=None) -> int:
     l.add_argument("--init-rot-std", type=float, default=0.0,
                    help="gaussian yaw perturbation of the --init-gt prior (rad)")
     l.add_argument("--init-seed", type=int, default=99)
+    l.add_argument("--init-chain", action="store_true",
+                   help="prior-free sequential tracking: warm-start each "
+                        "frame from the constant-velocity extrapolation of "
+                        "the previous two solutions (VTR's live-odometry "
+                        "prior role); first frame from --init-gt if given, "
+                        "else identity")
     l.add_argument("--map-gt", default="",
                    help="Applanix GT CSV of the map (teach) sequence")
     l.add_argument("--loc-gt", default="",

@@ -418,6 +418,75 @@ def localize_cloud_sequence(
     return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:])[:F], out)
 
 
+def localize_sequence_tracked(
+    frames,
+    map_pc,
+    cfg: LocalizationConfig = LocalizationConfig(),
+    T0=None,
+    weight_policy=None,
+    policy_variables=None,
+    clouds=None,
+) -> dict[str, Any]:
+    """Sequential repeat-pass TRACKING against one global map: frame k
+    warm-starts from the constant-velocity extrapolation of the previous two
+    solutions — the role VTR's live odometry prior plays in the repeat pass
+    (tactic odometry feeding `localization_icp`,
+    `radar_lidar_config.yaml:51-71`) — so no external (GT) prior is needed
+    beyond the first frame's ``T0``.
+
+    Inherently sequential (one jitted frame program per step, batch 1), so
+    it trades the batched path's throughput for prior-free operation; use
+    `localize_sequence(..., T_inits=...)` when priors exist. The warm start
+    is re-orthonormalized every step (see `odometry.orthonormalize_planar` —
+    the extrapolation ``T·(T_prev⁻¹·T)`` squares determinant drift).
+
+    frames: {'fft' (F, A, R), 'azimuths', 'az_times'} — or pass pre-extracted
+    ``clouds`` (F, N, 3) instead. Returns stacked results like
+    `localize_sequence`.
+    """
+    from mm_masking_tpu.localization.odometry import orthonormalize_planar
+
+    if clouds is None:
+        F = frames["fft"].shape[0]
+    else:
+        clouds = jnp.asarray(clouds)
+        F = clouds.shape[0]
+    if map_pc.ndim == 2:
+        map_pc = map_pc[None]
+
+    mask_kw = {}
+    if weight_policy is not None:
+        pm = weight_policy.cfg.model
+        mask_kw = dict(mask_cart_resolution=pm.cart_resolution,
+                       mask_cart_width=pm.cart_pixel_width)
+
+    T_prev2 = T_prev = jnp.asarray(
+        jnp.eye(4) if T0 is None else T0, jnp.float32)
+    outs = []
+    for k in range(F):
+        T_init = orthonormalize_planar(
+            T_prev @ (jnp.linalg.inv(T_prev2) @ T_prev))[None]
+        if clouds is None:
+            wm = None
+            if weight_policy is not None:
+                wm = weight_policy.mask_for_scan(
+                    policy_variables, frames["fft"][k:k + 1],
+                    frames["azimuths"][k:k + 1])
+            out = _localize_frame_jit(
+                frames["fft"][k:k + 1], frames["azimuths"][k:k + 1],
+                frames["az_times"][k:k + 1], map_pc, T_init, cfg=cfg,
+                weight_mask=wm, **mask_kw)
+        else:
+            out = _localize_clouds_jit(clouds[k:k + 1], map_pc, T_init,
+                                       cfg=cfg)
+        outs.append(out)
+        T_prev2, T_prev = T_prev, out["T"][0]
+    return jax.tree.map(lambda *x: jnp.concatenate(x, axis=0), *outs)
+
+
+_localize_clouds_jit = jax.jit(localize_clouds, static_argnames=("cfg",))
+
+
 def localize_sequence_to_traj(
     frames,
     map_pc,

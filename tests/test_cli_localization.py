@@ -265,3 +265,39 @@ def test_cli_teach_from_lidar_bins(tmp_path, world):
     real = m[(np.abs(m[:, :3]) < 900).all(-1)][:, :2]
     d = np.sqrt(((world[::10, None, :2] - real[None]) ** 2).sum(-1)).min(1)
     assert np.median(d) < 0.5, np.median(d)
+
+
+def test_cli_localize_init_chain_tracking(tmp_path, world):
+    """--init-chain tracks a repeat that walks away from the origin with NO
+    external prior: constant-velocity warm starts from previous solutions.
+    One-shot identity inits cannot follow (later frames start > trim_dist
+    from their basin); the chain must."""
+    rng = np.random.default_rng(13)
+    rep_dir = tmp_path / "repeat"
+    reps = [(1.5 * i, 0.1 * i, 0.02 * i) for i in range(7)]  # out to 10.5 m
+    rep_poses = [_planar_T(*r) for r in reps]
+    stamps = [7_000_000 + 100_000 * i for i in range(7)]
+    _write_shards(rep_dir, world, rep_poses, stamps, rng)
+    map_npz = str(tmp_path / "map.npz")
+    np.savez_compressed(map_npz, map_pc=world.astype(np.float32))
+
+    traj = str(tmp_path / "traj.txt")
+    rc = main(["localize", "--scans", str(rep_dir), "--map", map_npz,
+               "--out-traj", traj, "--init-chain", "--max-points", "1024",
+               "--batch-size", "2", "--icp-type", "pt2pt",
+               "--normal-threshold", "1.0"])
+    assert rc == 0
+    rows = [np.asarray([float(v) for v in r.split()])
+            for r in open(traj).read().splitlines()]
+    assert len(rows) == 7
+    # rows carry T_loc_map: position of the map origin in the loc frame =
+    # -R^T t of the pose, so recover each pose and check against GT
+    errs = []
+    for row, T_gt in zip(rows, rep_poses):
+        M = row[1:].reshape(3, 4)
+        R, t = M[:, :3], M[:, 3]
+        pos = -R.T @ t  # sensor position in the map frame
+        errs.append(np.linalg.norm(pos[:2] - T_gt[:2, 3]))
+    errs = np.asarray(errs)
+    assert errs[-1] < 0.2, errs  # tracked to the end (10.5 m from origin)
+    assert np.median(errs) < 0.15, errs
