@@ -71,13 +71,28 @@ def _parse_det_kwargs(items) -> tuple:
         try:
             val = int(v)
         except ValueError:
-            val = float(v)
+            try:
+                val = float(v)
+            except ValueError:
+                raise SystemExit(
+                    f"--det {k}: numeric value expected, got {v!r}"
+                ) from None
         out.append((k, val))
     return tuple(out)
 
 
 def _load_radar_frames(paths: list[str]):
-    """Decode raw Navtech scans → stacked {'fft','azimuths','az_times'}."""
+    """Decode raw Navtech scans → stacked {'fft','azimuths','az_times'}.
+
+    az_times are re-referenced to each scan's FIRST azimuth before the f32
+    cast: absolute epoch-nanosecond stamps (~1.7e18) exceed f32's ulp
+    (~1.4e11 ns ≈ 137 s) and would quantize the whole 0.25 s sweep to a
+    single value, silently destroying the per-azimuth timing that
+    motion-during-scan un-distortion and the continuous-time solver need.
+    Every pipeline consumer of these times works with per-scan deltas
+    (`motion_undistort` centers on its own t_ref; `ct_icp` normalizes to
+    [-1/2, 1/2]), so relative times are semantics-preserving.
+    """
     from mm_masking_tpu.data.dataset import _decode_radar_file
 
     ffts, azs, azts = [], [], []
@@ -85,7 +100,7 @@ def _load_radar_frames(paths: list[str]):
         fft, az, azt = _decode_radar_file(p)
         ffts.append(fft)
         azs.append(az)
-        azts.append(azt)
+        azts.append(np.asarray(azt) - np.asarray(azt).flat[0])
     return {
         "fft": np.stack(ffts).astype(np.float32),
         "azimuths": np.stack(azs).astype(np.float32),
@@ -297,12 +312,16 @@ def cmd_localize(args) -> int:
         gt_times = list(gt_times)
         rng = np.random.default_rng(args.init_seed)
         rows = []
+        # Closest-index with a tolerance, like every other GT consumer
+        # (eval_localization_run tol_us, dataset get_closest_index): real
+        # Applanix CSVs' µs-rounded GPSTime can differ from scan stamps.
+        tol_us = 1000
         for st in stamps:
             i = get_closest_index(st, gt_times)
-            if gt_times[i] != st:
+            if abs(int(gt_times[i]) - int(st)) > tol_us:
                 raise SystemExit(
-                    f"--init-gt: scan stamp {st} has no GT row in "
-                    f"{args.loc_gt} (closest: {gt_times[i]})"
+                    f"--init-gt: scan stamp {st} has no GT row within "
+                    f"{tol_us} us in {args.loc_gt} (closest: {gt_times[i]})"
                 )
             xi = np.zeros(6)
             xi[0] = rng.normal(0.0, args.init_pos_std)

@@ -444,34 +444,46 @@ def localize_sequence_tracked(
     ``clouds`` (F, N, 3) instead. Returns stacked results like
     `localize_sequence`.
     """
+    from mm_masking_tpu.geom import se3_inv
     from mm_masking_tpu.localization.odometry import orthonormalize_planar
 
     if clouds is None:
         F = frames["fft"].shape[0]
     else:
+        if weight_policy is not None:
+            raise ValueError(
+                "localize_sequence_tracked: weight_policy needs raw frames "
+                "(the mask is computed from the scan image); got clouds"
+            )
         clouds = jnp.asarray(clouds)
         F = clouds.shape[0]
     if map_pc.ndim == 2:
         map_pc = map_pc[None]
 
     mask_kw = {}
+    mask_fn = None
     if weight_policy is not None:
         pm = weight_policy.cfg.model
         mask_kw = dict(mask_cart_resolution=pm.cart_resolution,
                        mask_cart_width=pm.cart_pixel_width)
+        # One compiled mask program reused every frame (eager per-frame UNet
+        # dispatch costs per-op overhead on every iteration of this loop).
+        # NB batch-global normalization statistics are per CALL — here one
+        # frame at a time, vs per chunk in the batched path; the reference
+        # has the same batch-size coupling (`icp_weight_policy.py:151-159`).
+        mask_fn = jax.jit(weight_policy.mask_for_scan)
 
     T_prev2 = T_prev = jnp.asarray(
         jnp.eye(4) if T0 is None else T0, jnp.float32)
     outs = []
     for k in range(F):
         T_init = orthonormalize_planar(
-            T_prev @ (jnp.linalg.inv(T_prev2) @ T_prev))[None]
+            T_prev @ (se3_inv(T_prev2) @ T_prev))[None]
         if clouds is None:
             wm = None
-            if weight_policy is not None:
-                wm = weight_policy.mask_for_scan(
-                    policy_variables, frames["fft"][k:k + 1],
-                    frames["azimuths"][k:k + 1])
+            if mask_fn is not None:
+                wm = mask_fn(policy_variables, frames["fft"][k:k + 1],
+                             frames["azimuths"][k:k + 1])
             out = _localize_frame_jit(
                 frames["fft"][k:k + 1], frames["azimuths"][k:k + 1],
                 frames["az_times"][k:k + 1], map_pc, T_init, cfg=cfg,
@@ -480,7 +492,12 @@ def localize_sequence_tracked(
             out = _localize_clouds_jit(clouds[k:k + 1], map_pc, T_init,
                                        cfg=cfg)
         outs.append(out)
-        T_prev2, T_prev = T_prev, out["T"][0]
+        # A matched-ratio-gated frame must not poison the chain: keep
+        # extrapolating through it (its wild pose would otherwise be SQUARED
+        # into frame k+1's warm start). With min_matched_ratio=0 (default)
+        # every frame passes — unchanged reference-style behavior.
+        T_sol = jnp.where(out["ok"][0], out["T"][0], T_init[0])
+        T_prev2, T_prev = T_prev, T_sol
     return jax.tree.map(lambda *x: jnp.concatenate(x, axis=0), *outs)
 
 
