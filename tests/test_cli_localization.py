@@ -301,3 +301,27 @@ def test_cli_localize_init_chain_tracking(tmp_path, world):
     errs = np.asarray(errs)
     assert errs[-1] < 0.2, errs  # tracked to the end (10.5 m from origin)
     assert np.median(errs) < 0.15, errs
+
+
+def test_load_radar_frames_epoch_times_survive_f32(tmp_path):
+    """Real Navtech stamps are epoch time (~1.7e18 ns), far beyond f32's ulp
+    (~137 s there): the loader must re-reference per scan BEFORE the f32
+    cast or the whole 0.25 s sweep quantizes to one value (regression for
+    the motion_undistort/ct_icp timing path)."""
+    from mm_masking_tpu.localization.__main__ import _load_radar_frames
+
+    A, R = 16, 64
+    base_us = 1_700_000_000_000_000  # ~2023 epoch in microseconds
+    img = np.zeros((A, 11 + R), np.uint8)
+    ts = base_us + np.arange(A, dtype=np.int64) * 250  # 250 us per azimuth
+    img[:, :8] = np.frombuffer(ts.tobytes(), np.uint8).reshape(A, 8)
+    enc = (np.arange(A, dtype=np.float64) / A * 5600).astype(np.uint16)
+    img[:, 8:10] = np.frombuffer(enc.tobytes(), np.uint8).reshape(A, 2)
+    p = tmp_path / f"{base_us}.npy"
+    np.save(p, img)
+
+    frames = _load_radar_frames([str(p)])
+    azt = frames["az_times"][0]
+    # per-azimuth deltas must survive exactly (250 us = 250_000 ns steps)
+    np.testing.assert_allclose(np.diff(azt), 250_000.0, rtol=0, atol=0.5)
+    assert azt[0] == 0.0
