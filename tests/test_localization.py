@@ -337,3 +337,53 @@ def test_localize_sequence_learned_mask_in_the_loop():
     assert np.std(w[~pad]) > 1e-3
     assert not np.allclose(np.asarray(out_uni["T"]),
                            np.asarray(out_mask["T"]))
+
+
+def test_localize_sequence_learned_mask_mesh_equals_single_device():
+    """The deployment path under the data mesh: learned-mask localization
+    sharded over 8 devices must match the 1-device run — this pins the
+    batch-global mask normalization (a cross-sample coupling, SURVEY §7d)
+    lowering to GSPMD collectives inside the fused program."""
+    import jax
+
+    from mm_masking_tpu.config import Config, ModelConfig
+    from mm_masking_tpu.localization import localize_sequence
+    from mm_masking_tpu.models import LearnICPWeightPolicy
+    from mm_masking_tpu.parallel.mesh import make_mesh
+
+    b = synthetic_batch(7, batch=8, spec=SPEC)
+    frames = {
+        "fft": b["loc_data"]["fft_data"],
+        "azimuths": b["loc_data"]["azimuths"],
+        "az_times": b["loc_data"]["az_times"],
+    }
+    cfg = LocalizationConfig(
+        detector="modified_cacfar",
+        detector_kwargs=(("width", 21), ("guard", 2), ("maxr", 15.0)),
+        radar_resolution=SPEC.res, max_points=256, beta=0.0,
+        icp_type="pt2pl", refined_max_iter=8,
+    )
+    pol_cfg = Config(model=ModelConfig(
+        enc_channels=(4, 8), dropout=0.0,
+        res=SPEC.res, polar_shape=SPEC.polar_shape,
+        cart_pixel_width=SPEC.cart_pixel_width,
+        cart_resolution=SPEC.cart_resolution,
+    ))
+    policy = LearnICPWeightPolicy(pol_cfg)
+    variables = policy.init(jax.random.PRNGKey(2))
+    map_pc = b["map_data"]["pc"][:1]
+    T0 = b["transforms"]["T_ml_init"]
+
+    out1 = localize_sequence(frames, map_pc, cfg=cfg, T_inits=T0,
+                             batch_size=8, mesh=make_mesh(1),
+                             weight_policy=policy,
+                             policy_variables=variables)
+    out8 = localize_sequence(frames, map_pc, cfg=cfg, T_inits=T0,
+                             batch_size=8, mesh=make_mesh(8),
+                             weight_policy=policy,
+                             policy_variables=variables)
+    np.testing.assert_allclose(np.asarray(out8["T"]), np.asarray(out1["T"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out8["weights"]),
+                               np.asarray(out1["weights"]),
+                               rtol=1e-5, atol=1e-5)
