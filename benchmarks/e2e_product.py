@@ -96,6 +96,12 @@ MID = Scale(A=200, R=840, res=0.0596 * 4, cart=256, cart_res=0.2384 * 640 / 256,
 MAP_SEQ, TRAIN_SEQ, VAL_SEQ = "e2e-map", "e2e-train", "e2e-val"
 
 
+def _train_seqs(n: int) -> list[str]:
+    """Train sequence names for an n-pair run (the reference trains on 12
+    repeat pairs against one teach, `train_icp_weights.py:420-432`)."""
+    return [TRAIN_SEQ] + [f"{TRAIN_SEQ}{i}" for i in range(2, n + 1)]
+
+
 # --------------------------------------------------------------------- world
 def build_world(rng, sc: Scale):
     """Corridor world: two long walls + perpendicular stubs + poles.
@@ -198,7 +204,7 @@ def _render_radar(segs, T_world_sensor_inv, rng, sc: Scale, ghost_frac):
     return img
 
 
-def synthesize_tree(root: str, sc: Scale, seed: int = 7):
+def synthesize_tree(root: str, sc: Scale, seed: int = 7, train_seqs: int = 1):
     from mm_masking_tpu.data.boreas import get_inverse_tf
 
     rng = np.random.default_rng(seed)
@@ -216,6 +222,10 @@ def synthesize_tree(root: str, sc: Scale, seed: int = 7):
     rows = {MAP_SEQ: traj(sc.n_teach, 1_000_000, 0.0, 0.0),
             TRAIN_SEQ: traj(sc.n_train, 100_000_000, 0.7, 0.4),
             VAL_SEQ: traj(sc.n_val, 200_000_000, 1.9, -0.35)}
+    for i, seq in enumerate(_train_seqs(train_seqs)[1:], start=2):
+        # extra repeat passes: distinct lateral offsets/phases, own epoch
+        rows[seq] = traj(sc.n_train, 100_000_000 * (i + 1),
+                         0.7 + 1.1 * (i - 1), 0.4 - 0.5 * (i - 1))
 
     for seq, rws in rows.items():
         d = osp.join(root, "vtr_data", seq)
@@ -240,7 +250,7 @@ def synthesize_tree(root: str, sc: Scale, seed: int = 7):
 
     # repeat radar frames (raw Navtech .npy — the detector extracts clouds
     # from these in datagen, and the dataset reads them for fft_data)
-    for seq in (TRAIN_SEQ, VAL_SEQ):
+    for seq in _train_seqs(train_seqs) + [VAL_SEQ]:
         rdir = osp.join(root, "vtr_data", seq, "radar")
         os.makedirs(rdir, exist_ok=True)
         for t_us, x, y, h in rows[seq]:
@@ -269,21 +279,28 @@ def main():
     ap.add_argument("--datagen-only", action="store_true",
                     help="stop after shard generation (pre-build the tree "
                          "on CPU; run training on the chip later)")
+    ap.add_argument("--train-seqs", type=int, default=1,
+                    help="number of repeat train sequences (the reference "
+                         "trains on 12 pairs against one teach)")
     args = ap.parse_args()
 
     sc = {"tiny": TINY, "mid": MID, "full": Scale()}[args.scale]
     if args.epochs:
         sc = dataclasses.replace(sc, epochs=args.epochs)
     root = args.root + ("" if args.scale == "full" else f"_{args.scale}")
+    if args.train_seqs > 1:
+        root += f"_m{args.train_seqs}"
 
     if args.regen and osp.isdir(root):
         shutil.rmtree(root)
-    done_marker = osp.join(root, "vtr_results", "radar_lidar", MAP_SEQ)
+    train_pairs = tuple((MAP_SEQ, s) for s in _train_seqs(args.train_seqs))
+    done_marker = osp.join(root, "vtr_results", "radar_lidar", MAP_SEQ,
+                           train_pairs[-1][1])
     if not osp.isdir(done_marker):
         os.makedirs(root, exist_ok=True)
         print(f"[e2e] synthesizing Boreas-style tree under {root}",
               file=sys.stderr, flush=True)
-        synthesize_tree(root, sc)
+        synthesize_tree(root, sc, train_seqs=args.train_seqs)
 
         from mm_masking_tpu.localization.datagen import (
             DatagenConfig, generate_pair,
@@ -294,7 +311,7 @@ def main():
             max_points=sc.max_loc_pts, max_map_pts=sc.max_map_pts,
             radar_resolution=sc.res, voxel_size=0.3, batch_size=8,
         )
-        for loc_seq in (TRAIN_SEQ, VAL_SEQ):
+        for loc_seq in [s for _, s in train_pairs] + [VAL_SEQ]:
             print(f"[e2e] datagen {MAP_SEQ} -> {loc_seq}", file=sys.stderr,
                   flush=True)
             generate_pair(root, MAP_SEQ, loc_seq, dg)
@@ -329,7 +346,7 @@ def main():
         ),
         # the collapse-resistant walls recipe (docs/STATUS.md round-4)
         loss=LossWeights(num_pts=1e-3, num_pts_floor=0.15),
-        train_loc_pairs=((MAP_SEQ, TRAIN_SEQ),),
+        train_loc_pairs=train_pairs,
         val_loc_pairs=((MAP_SEQ, VAL_SEQ),),
     )
 
@@ -368,6 +385,7 @@ def main():
         "notfinite_count": epochs[-1]["notfinite_count"],
         "train_samples": len(train_ds),
         "val_samples": len(val_ds),
+        "train_pairs": len(train_pairs),
         "scale": args.scale,
     }
     print(json.dumps(summary), flush=True)
