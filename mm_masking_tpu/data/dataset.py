@@ -23,7 +23,8 @@ and the rotation/roll augmentation (`:425-452` — note the reference
 All per-item work is host-side numpy (ragged filtering happens before padding);
 the device only ever sees static shapes. Polar→cartesian conversion is batched
 on device in :mod:`mm_masking_tpu.data.loader` rather than per item in worker
-processes.
+processes, and the polar image planes stay uint8 (their on-disk format) until
+the loader normalizes them on device — the host never touches an f32 image.
 """
 from __future__ import annotations
 
@@ -46,12 +47,17 @@ from mm_masking_tpu.ops import load_radar
 
 
 def _decode_radar_file(path: str):
-    """Raw Navtech scan from .npy (pre-decoded) or .png (needs cv2/PIL)."""
+    """Raw Navtech scan from .npy (pre-decoded) or .png (needs cv2/PIL).
+
+    The FFT plane stays uint8 here (`load_radar(normalize=False)`): the /255
+    normalization runs on device in `loader.preprocess_batch`, so the host
+    pipeline stacks and ships a quarter of the bytes per batch.
+    """
     if path.endswith(".npy"):
         raw = np.load(path)
     else:
         raw = _imread_gray(path)
-    return load_radar(raw)
+    return load_radar(raw, normalize=False)
 
 
 def _imread_gray(path: str) -> np.ndarray:
@@ -260,18 +266,30 @@ class ICPWeightDataset:
         return raw, filt, map_pc, azimuths, fft, cfar
 
     def _load_cfar(self, cfar_path: str, fft: np.ndarray) -> np.ndarray:
+        """Hard CFAR mask for a scan, cached on disk as uint8 {0, 1}.
+
+        The reference's cache is a PNG u8 round-trip of the {0, 1} mask
+        (`icp_weight_dataset.py:183-200`), so u8 is lossless — and it keeps
+        the host pipeline and host↔device transfer at a quarter of f32.
+        Legacy f32 caches (values {0.0, 1.0}) are accepted and re-quantized.
+        """
         if osp.exists(cfar_path):
-            return np.load(cfar_path)
+            cached = np.load(cfar_path)
+            if cached.dtype != np.uint8:
+                cached = cached.astype(np.uint8)
+            return cached
         # Cache miss: compute hard CFAR once and store (reference `:183-200`).
         import jax.numpy as jnp
 
         from mm_masking_tpu.ops import cfar_mask
 
         m = self.config.model
+        fft_norm = np.divide(fft, 255.0, dtype=np.float32) \
+            if fft.dtype == np.uint8 else fft
         cfar = np.asarray(
-            cfar_mask(jnp.asarray(fft)[None], self.polar_res,
+            cfar_mask(jnp.asarray(fft_norm)[None], self.polar_res,
                       a_thresh=m.a_thresh, b_thresh=m.b_thresh, diff=False)[0]
-        ).astype(np.float32)
+        ).astype(np.uint8)
         np.save(cfar_path, cfar)
         return cfar
 
@@ -284,18 +302,19 @@ class ICPWeightDataset:
         )
 
         if self.radar_mode:
+            # fft/cfar stay uint8 through the host pipeline (collation ships
+            # 4x fewer bytes); loader.preprocess_batch normalizes on device.
             fft, azimuths, az_times = _decode_radar_file(radar_path)
-            fft = fft.astype(np.float32)
             azimuths = azimuths.astype(np.float32)
             az_times = az_times.astype(np.float32)
-            cfar = self._load_cfar(cfar_path, fft).astype(np.float32)
+            cfar = self._load_cfar(cfar_path, fft)
             if self.augment:
                 raw, filt, map_pc, azimuths, fft, cfar = self.augment_data(
                     raw, filt, map_pc, azimuths, fft, cfar
                 )
         else:
-            fft = np.zeros((1, 1), np.float32)
-            cfar = np.zeros((1, 1), np.float32)
+            fft = np.zeros((1, 1), np.uint8)
+            cfar = np.zeros((1, 1), np.uint8)
             azimuths = np.zeros((1,), np.float32)
             az_times = np.zeros((1,), np.float32)
 
@@ -303,7 +322,7 @@ class ICPWeightDataset:
             "loc_data": {
                 "raw_pc": raw,
                 "filtered_pc": filt,
-                "fft_data": fft,  # polar here; loader warps to cartesian
+                "fft_data": fft,  # polar uint8; loader normalizes + warps
                 "fft_cfar": cfar,
                 "azimuths": azimuths,
                 "az_times": az_times,

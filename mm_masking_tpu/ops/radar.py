@@ -30,7 +30,7 @@ POLAR_SHAPE = (400, 3360)  # (azimuths, range bins)
 ENCODER_TICKS = 5600
 
 
-def load_radar(raw_data: np.ndarray):
+def load_radar(raw_data: np.ndarray, normalize: bool = True):
     """Decode a raw Navtech scan image (host-side, numpy).
 
     Row layout (reference `radar_utils.py:20-27`): bytes 0-7 little-endian int64
@@ -38,6 +38,11 @@ def load_radar(raw_data: np.ndarray):
     byte 10 validity flag (unused), columns 11+ FFT power / 255.
 
     Returns (fft_data (A, R) float32, azimuths (A,) float64, timestamps (A,) int64).
+
+    With ``normalize=False`` the FFT plane stays the on-disk uint8 (the /255 is
+    deferred to the device — the input pipeline ships a quarter of the bytes
+    through host memory and the host↔device link; the device divide matches
+    numpy's f32 divide to within one ulp).
     """
     raw_data = np.asarray(raw_data)
     timestamps = np.frombuffer(raw_data[:, :8].tobytes(), dtype=np.int64) * 1000
@@ -45,7 +50,10 @@ def load_radar(raw_data: np.ndarray):
         np.frombuffer(raw_data[:, 8:10].tobytes(), dtype=np.uint16)
         * (2 * np.pi / ENCODER_TICKS)
     )
-    fft_data = np.divide(raw_data[:, 11:], 255.0, dtype=np.float32)
+    if normalize:
+        fft_data = np.divide(raw_data[:, 11:], 255.0, dtype=np.float32)
+    else:
+        fft_data = np.ascontiguousarray(raw_data[:, 11:])
     return fft_data, azimuths, timestamps
 
 

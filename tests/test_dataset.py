@@ -57,10 +57,12 @@ def test_dataset_loads_and_pads(synth_root):
     assert mp.shape[1] == 6
     # Map pads carry the target pad value.
     assert np.all(mp[-1, :3] == TARGET_PAD_VAL) or mp.shape[0] == 400
-    # FFT decoded from the raw Navtech byte layout.
+    # FFT decoded from the raw Navtech byte layout; stays uint8 on the host
+    # (the loader normalizes /255 on device).
     fft = item["loc_data"]["fft_data"]
     assert fft.shape == tuple(info["polar_shape"])
-    assert 0.0 <= fft.min() and fft.max() <= 1.0
+    assert fft.dtype == np.uint8
+    assert item["loc_data"]["fft_cfar"].dtype == np.uint8
 
 
 def test_dataset_gt_alignment_makes_identity_optimal(synth_root):
@@ -108,6 +110,87 @@ def test_epoch_batches_and_train_step(synth_root):
     state = trainer.init_state()
     state, loss, *_ = trainer._train_step(state, b, mask_losses_active=True)
     assert np.isfinite(float(loss))
+
+
+def test_loader_normalizes_u8_on_device(synth_root):
+    """The u8-on-the-wire pipeline must be numerically identical to the
+    legacy host-f32 path: fft u8/255 in f32 on device, cfar {0,1} cast."""
+    root, info = synth_root
+    cfg = make_config(root, info, augment=False)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, network_input_type="polar")
+    )
+    ds = ICPWeightDataset(pairs(info), cfg, dataset_type="test")
+    item = ds[0]
+    assert item["loc_data"]["fft_data"].dtype == np.uint8
+
+    b = next(iter(epoch_batches(ds, 2, cfg, shuffle=False)))
+    fft = np.asarray(b["loc_data"]["fft_data"])
+    cfar = np.asarray(b["loc_data"]["fft_cfar"])
+    assert fft.dtype == np.float32 and cfar.dtype == np.float32
+    want = np.divide(item["loc_data"]["fft_data"], 255.0, dtype=np.float32)
+    # One f32 ulp: XLA lowers the constant divide to a reciprocal multiply.
+    np.testing.assert_allclose(fft[0], want, rtol=0, atol=1e-7)
+    np.testing.assert_array_equal(
+        cfar[0], item["loc_data"]["fft_cfar"].astype(np.float32))
+
+    # Cartesian mode: warping the device-normalized u8 must equal warping a
+    # host-normalized f32 image (the pre-change contract).
+    from mm_masking_tpu.data.loader import _warp_batch
+
+    m = cfg.model
+    got, _ = _warp_batch(
+        jnp.asarray(item["loc_data"]["fft_data"])[None],
+        jnp.asarray(item["loc_data"]["fft_cfar"])[None],
+        jnp.asarray(item["loc_data"]["azimuths"])[None],
+        m.res, m.cart_resolution, m.cart_pixel_width,
+    )
+    ref, _ = _warp_batch(
+        jnp.asarray(want)[None],
+        jnp.asarray(item["loc_data"]["fft_cfar"].astype(np.float32))[None],
+        jnp.asarray(item["loc_data"]["azimuths"])[None],
+        m.res, m.cart_resolution, m.cart_pixel_width,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+
+
+def test_epoch_batches_prefetch_matches_inline(synth_root):
+    """The prefetch thread must not change batch content or order — including
+    the augmentation RNG consumption sequence (one worker, same call order)."""
+    root, info = synth_root
+    cfg = make_config(root, info, augment=True)
+
+    def run(prefetch):
+        ds = ICPWeightDataset(pairs(info), cfg, dataset_type="train")
+        return list(epoch_batches(ds, 2, cfg, shuffle=True, seed=3,
+                                  prefetch=prefetch))
+
+    a, b = run(0), run(1)
+    assert len(a) == len(b)
+    import jax
+
+    for ba, bb in zip(a, b):
+        la, lb = jax.tree_util.tree_leaves(ba), jax.tree_util.tree_leaves(bb)
+        assert len(la) == len(lb)
+        for xa, xb in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+def test_cfar_cache_u8_and_legacy_f32(synth_root, tmp_path):
+    """CFAR cache is written u8; a legacy f32 cache file is accepted."""
+    root, info = synth_root
+    cfg = make_config(root, info, augment=False)
+    ds = ICPWeightDataset(pairs(info), cfg, dataset_type="train")
+    _, _, cfar_path, _ = ds.entries[0]
+    cached = np.load(cfar_path)
+    assert cached.dtype == np.uint8
+    assert set(np.unique(cached)) <= {0, 1}
+    # Rewrite as legacy f32; the loader must still hand back u8 {0,1}.
+    np.save(cfar_path, cached.astype(np.float32))
+    item = ds[0]
+    assert item["loc_data"]["fft_cfar"].dtype == np.uint8
+    np.save(cfar_path, cached)  # restore for other tests
 
 
 def test_val_dataset_ones_baseline_reduces_error(synth_root):
