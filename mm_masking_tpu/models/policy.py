@@ -149,14 +149,19 @@ class LearnICPWeightPolicy:
         if m.log_transform:
             x = jnp.log(x + 1e-6)
         # Batch-global per-channel normalization (reference `:151-159`).
+        # Denominators are floored at f32 tiny: a CONSTANT channel (e.g. a
+        # frame batch with zero CFAR detections) normalizes to 0 instead of
+        # NaN-poisoning the whole mask. Identical to the reference wherever
+        # the channel has any spread (the reference divides unguarded and
+        # NaNs on constant channels — a crash bug, not semantics to keep).
         if "minmax" in m.normalize:
             c_max = jnp.max(x, axis=(0, 1, 2), keepdims=True)
             c_min = jnp.min(x, axis=(0, 1, 2), keepdims=True)
-            x = (x - c_min) / (c_max - c_min)
+            x = (x - c_min) / jnp.maximum(c_max - c_min, 1e-30)
         elif "standardize" in m.normalize:
             c_mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
             c_std = jnp.std(x, axis=(0, 1, 2), ddof=1, keepdims=True)
-            x = (x - c_mean) / c_std
+            x = (x - c_mean) / jnp.maximum(c_std, 1e-30)
 
         x = x.astype(m.jax_dtype)
         rngs = {"dropout": rng} if (train and m.dropout > 0.0) else None

@@ -182,3 +182,26 @@ def test_policy_implicit_diff_mode(batch):
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert sum(float(jnp.abs(l).sum()) for l in leaves) > 0
+
+
+@pytest.mark.parametrize("normalize", ["minmax", "standardize"])
+def test_compute_mask_constant_channel_stays_finite(normalize):
+    """A CONSTANT input channel (e.g. a frame batch with zero CFAR hits) must
+    normalize to 0, not NaN-poison the mask: the batch-global minmax /
+    standardize denominators are floored (the reference divides unguarded —
+    `icp_weight_policy.py:151-159` — and NaNs on this input; that is a crash
+    bug, not semantics to reproduce)."""
+    cfg = small_config(normalize=normalize, cfar_input=True)
+    policy = LearnICPWeightPolicy(cfg)
+    variables = policy.init(jax.random.PRNGKey(0))
+    B, W = 2, cfg.model.cart_pixel_width
+    fft = jnp.asarray(
+        np.random.default_rng(0).random((B, W, W), np.float32))
+    cfar = jnp.zeros((B, W, W), jnp.float32)  # no detections anywhere
+    mask, _ = policy.compute_mask(variables, fft, cfar, train=False)
+    m = np.asarray(mask)
+    assert np.isfinite(m).all()
+    # and the fft channel's normalization is unchanged by the guard
+    mask2, _ = policy.compute_mask(
+        variables, fft, cfar.at[0, 0, 0].set(1.0), train=False)
+    assert np.isfinite(np.asarray(mask2)).all()
