@@ -102,7 +102,8 @@ def main():
 
     ds = ICPWeightDataset(list(cfg.train_loc_pairs), cfg, "train")
     b = 16
-    n_items = min(len(ds), args.batches * b)
+    # always fill full batches (items wrap around small datasets)
+    n_items = args.batches * b
     results = {}
 
     for name, view in (("u8", ds), ("host_f32", _HostF32View(ds))):

@@ -276,7 +276,10 @@ class ICPWeightDataset:
         if osp.exists(cfar_path):
             cached = np.load(cfar_path)
             if cached.dtype != np.uint8:
+                # One-time re-quantization: write the u8 back so later epochs
+                # read a quarter of the bytes instead of re-converting forever.
                 cached = cached.astype(np.uint8)
+                np.save(cfar_path, cached)
             return cached
         # Cache miss: compute hard CFAR once and store (reference `:183-200`).
         import jax.numpy as jnp

@@ -130,25 +130,22 @@ def epoch_batches(
     _END = object()
 
     def worker():
-        try:
-            it = produce()
-            while True:
+        it = produce()
+        while not stop.is_set():
+            try:
+                item = next(it)
+            except StopIteration:
+                item = _END
+            except BaseException as e:  # surface errors to the consumer
+                item = e
+            while not stop.is_set():
                 try:
-                    item = next(it)
-                except StopIteration:
-                    item = _END
-                except BaseException as e:  # surface errors to the consumer
-                    item = e
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set() or item is _END or isinstance(item, BaseException):
-                    return
-        finally:
-            pass
+                    q.put(item, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+            if item is _END or isinstance(item, BaseException):
+                return
 
     t = threading.Thread(target=worker, name="epoch_batches_prefetch",
                          daemon=True)
@@ -162,4 +159,10 @@ def epoch_batches(
                 raise item
             yield item
     finally:
+        # Stop AND join: an abandoned generator must not leave the worker
+        # mid-item, racing a new epoch's iteration on the same dataset (the
+        # augmentation np.random.Generator is not thread-safe). The worker
+        # only does bounded host work per item and re-checks `stop` around
+        # every queue put, so the join terminates.
         stop.set()
+        t.join()

@@ -186,11 +186,31 @@ def test_cfar_cache_u8_and_legacy_f32(synth_root, tmp_path):
     cached = np.load(cfar_path)
     assert cached.dtype == np.uint8
     assert set(np.unique(cached)) <= {0, 1}
-    # Rewrite as legacy f32; the loader must still hand back u8 {0,1}.
+    # Rewrite as legacy f32; the loader must still hand back u8 {0,1} AND
+    # re-save the cache file as u8 (one-time re-quantization, not per-read).
     np.save(cfar_path, cached.astype(np.float32))
     item = ds[0]
     assert item["loc_data"]["fft_cfar"].dtype == np.uint8
+    assert np.load(cfar_path).dtype == np.uint8
     np.save(cfar_path, cached)  # restore for other tests
+
+
+def test_epoch_batches_abandoned_prefetch_joins_worker(synth_root):
+    """Abandoning the generator early must stop AND join the worker thread —
+    a live worker would race a new epoch's iteration on the same dataset's
+    (non-thread-safe) augmentation RNG."""
+    import threading
+
+    root, info = synth_root
+    cfg = make_config(root, info, augment=True)
+    ds = ICPWeightDataset(pairs(info), cfg, dataset_type="train")
+    it = epoch_batches(ds, 2, cfg, shuffle=True, seed=3, prefetch=1)
+    next(it)
+    it.close()  # GeneratorExit -> finally: stop.set(); t.join()
+    assert not any(
+        t.name == "epoch_batches_prefetch" and t.is_alive()
+        for t in threading.enumerate()
+    )
 
 
 def test_val_dataset_ones_baseline_reduces_error(synth_root):
