@@ -49,6 +49,45 @@ def _cmd_export(args) -> int:
     return 0
 
 
+def _cmd_export_localizer(args) -> int:
+    import dataclasses
+
+    from mm_masking_tpu.deploy import export_localizer, write_artifact
+    from mm_masking_tpu.localization.pipeline import LocalizationConfig
+
+    cfg = LocalizationConfig()
+    fields = {f.name: f for f in dataclasses.fields(LocalizationConfig)}
+    for kv in args.cfg or ():
+        key, _, val = kv.partition("=")
+        if key not in fields:
+            raise SystemExit(f"unknown LocalizationConfig field {key!r} "
+                             f"(have: {', '.join(sorted(fields))})")
+        typ = type(getattr(cfg, key))
+        if typ is bool:
+            new = val.lower() in ("1", "true", "yes")
+        elif typ is int:
+            new = int(float(val))
+        elif typ is float:
+            new = float(val)
+        elif typ is str:
+            new = val
+        else:
+            raise SystemExit(f"{key} ({typ.__name__}) is not settable "
+                             "via --cfg")
+        cfg = dataclasses.replace(cfg, **{key: new})
+    batch: int | str = args.batch if args.batch == "b" else int(args.batch)
+    platforms = args.platforms.split(",") if args.platforms else None
+    payload, header = export_localizer(
+        cfg, n_points=args.n_points, n_map=args.n_map,
+        batch=batch, platforms=platforms,
+    )
+    write_artifact(args.out, payload, header)
+    print(f"export-localizer: {args.out} ({len(payload)/1e6:.2f} MB) "
+          f"platforms={header['platforms']} icp={header['icp_type']} "
+          f"N={args.n_points} M={args.n_map} batch={header['batch']}")
+    return 0
+
+
 def _cmd_info(args) -> int:
     from mm_masking_tpu.deploy import read_artifact
 
@@ -70,19 +109,31 @@ def _cmd_run(args) -> int:
     if not paths:
         raise SystemExit(f"no .npy/.png scans under {args.scans}")
 
-    ffts, azs, stamps = [], [], []
-    for p in paths:
+    def load_scan(p):
         if p.endswith(".npy"):
             raw = np.load(p)
         else:
             from mm_masking_tpu.data.dataset import _imread_gray
 
             raw = _imread_gray(p)
-        fft, az, _ = load_radar(raw)
-        ffts.append(fft)
-        azs.append(az.astype(np.float32))
-        stamps.append(osp.splitext(osp.basename(p))[0])
-    masks = np.asarray(call(np.stack(ffts), np.stack(azs)))
+        # u8 planes stay u8 on host (load_mask_policy normalizes on device)
+        fft, az, _ = load_radar(raw, normalize=False)
+        return fft, az.astype(np.float32)
+
+    # Chunked: a real repeat is thousands of 400x3360 scans — one giant
+    # batch would OOM host and device. Note the policy's batch-GLOBAL
+    # normalization: statistics span each chunk (like the reference's
+    # validation batches), so --batch-size is a semantic knob, not just a
+    # memory one; the last short chunk runs at its own size.
+    b = max(1, args.batch_size)
+    masks, stamps = [], []
+    for start in range(0, len(paths), b):
+        chunk = paths[start : start + b]
+        scans = [load_scan(p) for p in chunk]
+        masks.append(np.asarray(call(np.stack([s[0] for s in scans]),
+                                     np.stack([s[1] for s in scans]))))
+        stamps.extend(osp.splitext(osp.basename(p))[0] for p in chunk)
+    masks = np.concatenate(masks, axis=0)
     np.savez_compressed(args.out, masks=masks,
                         stamps=np.asarray(stamps))
     print(f"run: {len(paths)} scans -> {args.out} masks{masks.shape}")
@@ -106,6 +157,22 @@ def main(argv=None) -> int:
                         "(default: the current backend)")
     e.set_defaults(fn=_cmd_export)
 
+    el = sub.add_parser(
+        "export-localizer",
+        help="registration step (clouds->pose) -> standalone artifact")
+    el.add_argument("--out", required=True)
+    el.add_argument("--n-points", type=int, default=4096)
+    el.add_argument("--n-map", type=int, default=16384)
+    el.add_argument("--batch", default="b",
+                    help="'b' = symbolic (any batch size), or a fixed int")
+    el.add_argument("--platforms", default="",
+                    help="lowering targets, e.g. 'tpu,cpu' (default: the "
+                         "current backend; NN kernel chosen at trace time)")
+    el.add_argument("--cfg", action="append", metavar="KEY=VALUE",
+                    help="LocalizationConfig overrides, e.g. "
+                         "--cfg icp_type=pt2pt --cfg refined_max_iter=30")
+    el.set_defaults(fn=_cmd_export_localizer)
+
     i = sub.add_parser("info", help="print an artifact's header")
     i.add_argument("artifact")
     i.set_defaults(fn=_cmd_info)
@@ -115,6 +182,9 @@ def main(argv=None) -> int:
     r.add_argument("--scans", required=True,
                    help="raw Navtech scan file or directory (.npy/.png)")
     r.add_argument("--out", required=True)
+    r.add_argument("--batch-size", type=int, default=32,
+                   help="scans per device call (the batch-global "
+                        "normalization statistics span one chunk)")
     r.set_defaults(fn=_cmd_run)
 
     args = ap.parse_args(argv)

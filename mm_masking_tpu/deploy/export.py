@@ -18,7 +18,11 @@ TPU-native equivalent built here with `jax.export`:
   * the batch dimension is symbolic by default (`jax.export.symbolic_shape`),
     so one artifact serves any number of scans per call.
 
-CLI: ``python -m mm_masking_tpu.deploy export|info|run`` (see __main__).
+The registration step itself (`localize_clouds` — the reference's C++
+`localization_icp` module) exports the same way via `export_localizer`.
+
+CLI: ``python -m mm_masking_tpu.deploy export|export-localizer|info|run``
+(see __main__).
 """
 from __future__ import annotations
 
@@ -116,6 +120,85 @@ def export_from_run_dir(
     return payload, header
 
 
+def export_localizer(
+    cfg_loc,
+    *,
+    n_points: int,
+    n_map: int,
+    batch: int | str = "b",
+    platforms: Sequence[str] | None = None,
+) -> tuple[bytes, dict]:
+    """Trace + serialize the registration step: clouds → pose.
+
+    The serving-side analog of the reference's C++ localization ICP module
+    (`vtr_radar_lidar.localization_icp`, SURVEY.md §2.3 — the module whose
+    behavior training imitates): `localize_clouds` with this config baked in,
+    callable as (pc (B, N, 3) zero-padded scan clouds, map_pc (B, M, 6) with
+    normals, T_init (B, 4, 4), weights (B, N)) → (T (B, 4, 4),
+    matched_ratio (B,), ok (B,) bool).
+
+    N and M are static (the solver's sorts/kernels need them); batch may be
+    symbolic. NOTE: the NN-association backend is chosen at TRACE time
+    (Pallas on TPU, blocked XLA elsewhere), so an artifact exported under a
+    TPU backend runs only on TPU; export under CPU (or pass
+    platforms=['cpu']) for a portable blocked-XLA artifact.
+    """
+    from mm_masking_tpu.localization.pipeline import localize_clouds
+
+    def fn(pc, map_pc, T_init, weights):
+        out = localize_clouds(pc, map_pc, T_init, cfg_loc, weights=weights)
+        return out["T"], out["matched_ratio"], out["ok"]
+
+    if isinstance(batch, str):
+        (b,) = jax_export.symbolic_shape(f"({batch},)")
+    else:
+        b = int(batch)
+    avals = (
+        jax.ShapeDtypeStruct((b, int(n_points), 3), jnp.float32),
+        jax.ShapeDtypeStruct((b, int(n_map), 6), jnp.float32),
+        jax.ShapeDtypeStruct((b, 4, 4), jnp.float32),
+        jax.ShapeDtypeStruct((b, int(n_points)), jnp.float32),
+    )
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    exported = jax_export.export(jax.jit(fn), **kwargs)(*avals)
+    header = {
+        "kind": "localizer",
+        "n_points": int(n_points),
+        "n_map": int(n_map),
+        "batch": batch,
+        "platforms": list(exported.platforms),
+        "icp_type": cfg_loc.icp_type,
+        "iterations": [int(cfg_loc.initial_max_iter),
+                       int(cfg_loc.refined_max_iter)],
+        "min_matched_ratio": float(cfg_loc.min_matched_ratio),
+        "inputs": "pc (B, N, 3) zero-padded; map_pc (B, M, 6) xyz+normals "
+                  "(zero normals for pt2pt); T_init (B, 4, 4); weights (B, N)",
+        "output": "(T (B, 4, 4), matched_ratio (B,), ok (B,) bool)",
+    }
+    return exported.serialize(), header
+
+
+def load_localizer(path: str) -> tuple[Callable, dict]:
+    """Deserialize a localizer artifact into
+    (pc, map_pc, T_init, weights) → (T, matched_ratio, ok). Needs only jax."""
+    payload, header = read_artifact(path)
+    if header.get("kind") != "localizer":
+        raise ValueError(f"{path}: kind={header.get('kind')!r}, "
+                         "expected 'localizer'")
+    exported = jax_export.deserialize(payload)
+
+    def call(pc, map_pc, T_init, weights):
+        return exported.call(
+            jnp.asarray(pc, jnp.float32), jnp.asarray(map_pc, jnp.float32),
+            jnp.asarray(T_init, jnp.float32),
+            jnp.asarray(weights, jnp.float32),
+        )
+
+    return call, header
+
+
 # ------------------------------------------------------------------ file I/O
 def write_artifact(path: str, payload: bytes, header: dict) -> None:
     """One self-describing file: magic, u32 header length, JSON header, payload."""
@@ -148,7 +231,14 @@ def load_mask_policy(path: str) -> tuple[Callable, dict]:
     exported = jax_export.deserialize(payload)
 
     def call(fft_polar, azimuths):
-        return exported.call(jnp.asarray(fft_polar, jnp.float32),
+        # The artifact contract is f32 power in [0, 1]. uint8 is this repo's
+        # wire format for the same plane (raw counts / 255), so normalize it
+        # here rather than silently casting 0-255 counts to 0.0-255.0 floats
+        # (which would feed cfar thresholds tuned for [0, 1] garbage input).
+        fft_polar = jnp.asarray(fft_polar)
+        if fft_polar.dtype == jnp.uint8:
+            fft_polar = fft_polar.astype(jnp.float32) / 255.0
+        return exported.call(fft_polar.astype(jnp.float32),
                              jnp.asarray(azimuths, jnp.float32))
 
     return call, header
