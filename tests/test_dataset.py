@@ -195,6 +195,33 @@ def test_cfar_cache_u8_and_legacy_f32(synth_root, tmp_path):
     np.save(cfar_path, cached)  # restore for other tests
 
 
+def test_epoch_batches_prefetch_propagates_worker_errors(synth_root):
+    """An exception inside the worker (dataset/collate) must surface to the
+    consumer as the exception, not a hang or silent truncation."""
+    root, info = synth_root
+    cfg = make_config(root, info, augment=False)
+    ds = ICPWeightDataset(pairs(info), cfg, dataset_type="train")
+
+    class Boom(RuntimeError):
+        pass
+
+    class ExplodingView:
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            if i >= 2:
+                raise Boom("bad item")
+            return ds[i]
+
+    import pytest
+
+    it = epoch_batches(ExplodingView(), 2, cfg, shuffle=False, prefetch=1)
+    next(it)  # first batch (items 0, 1) is fine
+    with pytest.raises(Boom, match="bad item"):
+        next(it)
+
+
 def test_epoch_batches_abandoned_prefetch_joins_worker(synth_root):
     """Abandoning the generator early must stop AND join the worker thread —
     a live worker would race a new epoch's iteration on the same dataset's
