@@ -271,6 +271,10 @@ def main():
     ap.add_argument("--run-name", default="e2e_product")
     ap.add_argument("--icp-type", default="pt2pl", choices=["pt2pt", "pt2pl"])
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--lr-schedule", default="constant",
+                    choices=["constant", "cosine"],
+                    help="cosine decays to 0 over the whole run (opt-in "
+                         "stabilizer; constant = reference semantics)")
     ap.add_argument("--max-step", type=float, default=0.0,
                     help="ICP trust-region clamp (m); 0 = reference semantics")
     ap.add_argument("--clip", type=float, default=0.0,
@@ -342,6 +346,7 @@ def main():
         train=TrainConfig(
             batch_size_train=sc.batch_train, batch_size_test=sc.batch_test,
             num_epochs=sc.epochs, learning_rate=args.lr, clip_value=args.clip,
+            lr_schedule=args.lr_schedule,
             checkpoint_dir=osp.join("results", "checkpoints", args.run_name),
         ),
         # the collapse-resistant walls recipe (docs/STATUS.md round-4)
@@ -354,6 +359,12 @@ def main():
     val_ds = ICPWeightDataset(list(cfg.val_loc_pairs), cfg, "test")
     print(f"[e2e] train={len(train_ds)} val={len(val_ds)} samples",
           file=sys.stderr, flush=True)
+    if args.lr_schedule == "cosine":
+        steps = sc.epochs * max(1, len(train_ds) // sc.batch_train)
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, lr_decay_steps=steps))
+        print(f"[e2e] cosine lr: decay over {steps} steps", file=sys.stderr,
+              flush=True)
 
     trainer = Trainer(cfg)
     state = trainer.fit(

@@ -146,6 +146,15 @@ class TrainConfig:
     num_epochs: int = 30
     learning_rate: float = 1e-4
     optimizer: str = "adam"  # "adam" | "sgd"
+    # LR schedule. "constant" = reference semantics (fixed Adam,
+    # train_icp_weights.py:419). "cosine" decays to 0 over lr_decay_steps
+    # optimizer STEPS (set it to num_epochs * ceil(samples / batch); the
+    # training CLI and e2e driver compute it for you) with lr_warmup_steps
+    # of linear warmup — an opt-in stabilizer for long runs whose val error
+    # regresses late under a fixed lr.
+    lr_schedule: str = "constant"  # "constant" | "cosine"
+    lr_decay_steps: int = 0
+    lr_warmup_steps: int = 0
     clip_value: float = 0.0
     icp_loss_only_iter: int = -1
     seed: int = 99

@@ -72,9 +72,19 @@ def main(argv=None):
 
     cfg = _apply_overrides(Config(), args.set)
 
-    from mm_masking_tpu.train.trainer import Trainer
+    def _autofill_decay_steps(cfg, samples_per_epoch):
+        """cosine without explicit lr_decay_steps: decay over the whole run."""
+        import dataclasses
+        import math
 
-    trainer = Trainer(cfg)
+        t = cfg.train
+        if t.lr_schedule == "cosine" and t.lr_decay_steps <= 0:
+            steps = t.num_epochs * max(
+                1, math.ceil(samples_per_epoch / t.batch_size_train))
+            print(f"lr_schedule=cosine: lr_decay_steps auto-set to {steps}")
+            return dataclasses.replace(
+                cfg, train=dataclasses.replace(t, lr_decay_steps=steps))
+        return cfg
 
     if args.synthetic:
         from mm_masking_tpu.data.synthetic import SyntheticSpec, synthetic_batch
@@ -92,6 +102,7 @@ def main(argv=None):
         bt = cfg.train.batch_size_train
         bv = cfg.train.batch_size_test
         n_train = max(1, args.synthetic_frames // bt)
+        cfg = _autofill_decay_steps(cfg, n_train * bt)
 
         if args.synthetic_fixed:
             import jax
@@ -124,6 +135,7 @@ def main(argv=None):
         train_ds = ICPWeightDataset(list(cfg.train_loc_pairs), cfg, "train")
         val_ds = ICPWeightDataset(list(cfg.val_loc_pairs), cfg, "test")
         print(f"train samples: {len(train_ds)}, val samples: {len(val_ds)}")
+        cfg = _autofill_decay_steps(cfg, len(train_ds))
 
         def train_batches(epoch):
             return epoch_batches(train_ds, cfg.train.batch_size_train, cfg,
@@ -133,6 +145,9 @@ def main(argv=None):
             return epoch_batches(val_ds, cfg.train.batch_size_test, cfg,
                                  shuffle=False, drop_last=False)
 
+    from mm_masking_tpu.train.trainer import Trainer
+
+    trainer = Trainer(cfg)
     trainer.fit(train_batches, val_batches)
 
 

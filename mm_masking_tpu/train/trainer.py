@@ -50,10 +50,26 @@ class TrainState(NamedTuple):
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     t = cfg.train
+    if t.lr_schedule == "constant":
+        lr = t.learning_rate
+    elif t.lr_schedule == "cosine":
+        if t.lr_decay_steps <= 0:
+            raise ValueError(
+                "lr_schedule='cosine' needs lr_decay_steps > 0 "
+                "(num_epochs * ceil(samples / batch_size_train))"
+            )
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if t.lr_warmup_steps > 0 else t.learning_rate,
+            peak_value=t.learning_rate,
+            warmup_steps=t.lr_warmup_steps,
+            decay_steps=t.lr_decay_steps,
+        )
+    else:
+        raise ValueError(t.lr_schedule)
     if t.optimizer == "adam":
-        tx = optax.adam(t.learning_rate)
+        tx = optax.adam(lr)
     elif t.optimizer == "sgd":
-        tx = optax.sgd(t.learning_rate, momentum=1.0, nesterov=True)
+        tx = optax.sgd(lr, momentum=1.0, nesterov=True)
     else:
         raise ValueError(t.optimizer)
     if t.clip_value > 0.0:

@@ -135,3 +135,40 @@ def test_multi_sequence_eval_on_mesh(tmp_path):
         assert np.isfinite(errs.trans_rmse)
         d = errs.as_dict()
         assert "rot_rmse" in d
+
+
+def test_cosine_lr_schedule_decays_updates():
+    """lr_schedule='cosine' must shrink Adam's effective step over
+    lr_decay_steps (constant grads -> Adam's update magnitude tracks the lr
+    schedule), reach ~0 at the end, and refuse a missing lr_decay_steps."""
+    import optax
+
+    from mm_masking_tpu.train.trainer import make_optimizer
+
+    cfg = Config(train=TrainConfig(learning_rate=1e-2, lr_schedule="cosine",
+                                   lr_decay_steps=20))
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.ones((3,))}
+    opt_state = tx.init(params)
+    grads = {"w": jnp.full((3,), 0.5)}
+    steps = []
+    for _ in range(20):
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        steps.append(float(jnp.abs(updates["w"]).max()))
+    assert steps[0] == pytest.approx(1e-2, rel=0.05)  # peak lr, no warmup
+    assert steps[10] < steps[0] * 0.8
+    assert steps[-1] < steps[0] * 0.05  # cosine tail ~0
+
+    # warmup ramps in
+    cfg_w = Config(train=TrainConfig(learning_rate=1e-2, lr_schedule="cosine",
+                                     lr_decay_steps=20, lr_warmup_steps=5))
+    txw = make_optimizer(cfg_w)
+    sw = txw.init(params)
+    up0, sw = txw.update(grads, sw, params)
+    assert float(jnp.abs(up0["w"]).max()) < 1e-3  # first warmup step tiny
+
+    with pytest.raises(ValueError, match="lr_decay_steps"):
+        make_optimizer(Config(train=TrainConfig(lr_schedule="cosine")))
+    # default config is untouched reference semantics
+    assert Config().train.lr_schedule == "constant"
