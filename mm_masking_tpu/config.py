@@ -84,10 +84,11 @@ class ModelConfig:
     # numerics, MXU-dense; see models/s2d.py). Layout choice only — safe to
     # toggle on existing checkpoints. Measured SLOWER on v5e (docs/BENCH_DETAIL.md).
     s2d_convs: bool = False
-    # Conv lowering: "xla" (lax.conv) or "tapsum" (nine shifted matmuls).
-    # tapsum wins ~1.2× on an isolated conv but LOSES inside the full UNet
-    # (breaks XLA's bias/relu-into-conv fusion) — measured, docs/BENCH_DETAIL.md.
-    # Checkpoint-compatible lowering choice.
+    # Conv lowering: "xla" (lax.conv), "tapsum" (nine shifted matmuls), or
+    # "pallas_nhcw" (whole UNet in (B,H,C,W) layout with Pallas MXU conv
+    # kernels + custom VJP — avoids XLA's 8-16× low-channel NHWC layout
+    # padding; ops/pallas/conv2d.py, docs/BENCH_DETAIL.md).
+    # Checkpoint-compatible lowering choice; tapsum measured slower in-net.
     conv_impl: str = "xla"
     # Rematerialize UNet conv blocks on the backward pass (jax.checkpoint):
     # required to fit train batches ≥ 64 in HBM, where XLA's 8× low-channel

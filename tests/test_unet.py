@@ -125,3 +125,60 @@ def test_remat_blocks_match_plain_execution():
     for a, b in zip(jax.tree_util.tree_leaves(g0),
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pallas_nhcw_unet_matches_xla_lowering():
+    """pallas_nhcw is a lowering/layout choice: identical params and outputs
+    (interpret-mode Pallas on CPU; the same path Mosaic-compiles on TPU).
+
+    Grads are covered op-level in tests/test_pallas_conv.py; here the full
+    forward (transpose-in, fused relu, NHCW pool/upsample/concat,
+    transpose-out) must match the NHWC reference graph."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mm_masking_tpu.models.unet import UNet
+
+    rng = np.random.default_rng(0)
+    # W=128-multiple at the top stage; deeper stages (W=64, 32) take the
+    # NHCW lax.conv fallback, so both kernel paths are exercised.
+    x = jnp.asarray(rng.random((2, 128, 128, 2)), jnp.float32)
+    u_x = UNet(enc_channels=(8, 16, 32), dropout=0.0, conv_impl="xla")
+    u_p = UNet(enc_channels=(8, 16, 32), dropout=0.0, conv_impl="pallas_nhcw")
+    v = u_x.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    y_x = u_x.apply(v, x, train=False)
+    y_p = u_p.apply(v, x, train=False)
+    assert y_p.shape == y_x.shape
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                               rtol=1e-5, atol=2e-6)
+
+
+def test_pallas_nhcw_unet_grads_match_xla():
+    """Full fwd+bwd through the NHCW UNet (custom VJPs inside) matches the
+    NHWC autodiff graph parameter-for-parameter."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mm_masking_tpu.models.unet import UNet
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((1, 128, 128, 1)), jnp.float32)
+    u_x = UNet(enc_channels=(8, 16), dropout=0.0, conv_impl="xla")
+    u_p = UNet(enc_channels=(8, 16), dropout=0.0, conv_impl="pallas_nhcw")
+    v = u_x.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+    def loss(u):
+        def f(params):
+            y = u.apply({"params": params}, x, train=False)
+            return jnp.sum(y * y)
+        return f
+
+    g_x = jax.grad(loss(u_x))(v["params"])
+    g_p = jax.grad(loss(u_p))(v["params"])
+    flat_x = jax.tree_util.tree_leaves_with_path(g_x)
+    flat_p = {jax.tree_util.keystr(k): a
+              for k, a in jax.tree_util.tree_leaves_with_path(g_p)}
+    for k, a in flat_x:
+        np.testing.assert_allclose(
+            np.asarray(flat_p[jax.tree_util.keystr(k)]), np.asarray(a),
+            rtol=2e-4, atol=2e-5, err_msg=jax.tree_util.keystr(k))
