@@ -210,6 +210,9 @@ def main():
     cfg = Config(
         model=ModelConfig(dropout=0.05, max_iter=10, inference_max_iter=50,
                           nn_refresh_dist=0.05,  # speed knob: bench opts in
+                          # Pallas NHCW conv lowering: same params/numerics,
+                          # UNet fwd+bwd 229->141 ms (docs/BENCH_DETAIL.md)
+                          conv_impl="pallas_nhcw",
                           dtype="bfloat16"),
         train=TrainConfig(batch_size_train=batch_train,
                           batch_size_test=batch_eval),
@@ -308,6 +311,7 @@ def main():
     prod_cfg = Config(
         model=ModelConfig(dropout=0.05, max_iter=10, inference_max_iter=50,
                           nn_refresh_dist=0.05,  # speed knob: bench opts in
+                          conv_impl="pallas_nhcw",
                           dtype="bfloat16", remat=True),
         train=TrainConfig(batch_size_train=128, batch_size_test=64),
     )

@@ -110,6 +110,18 @@ def export_from_run_dir(
             "(it writes the run config next to its checkpoints)"
         )
     run_cfg = Config.from_dict(json.load(open(cfg_path)))
+    # conv_impl / s2d are checkpoint-compatible *lowering* choices
+    # (tests/test_unet.py proves identical params + outputs). Artifacts must
+    # stay platform-portable, so always export the plain-XLA lowering — a run
+    # trained with Pallas NHCW convs would otherwise bake TPU-only Mosaic
+    # custom calls into the StableHLO.
+    import dataclasses
+
+    run_cfg = dataclasses.replace(
+        run_cfg,
+        model=dataclasses.replace(
+            run_cfg.model, conv_impl="xla", s2d_convs=False),
+    )
     policy = LearnICPWeightPolicy(run_cfg)
     variables = load_policy_variables(run_dir, checkpoint_name)
     payload, header = export_mask_policy(
