@@ -303,11 +303,13 @@ def main():
         return
     detail["full_phase"] = "incomplete"
 
-    # Production operating point: the headline above keeps the reference's
-    # batch sizes (16/32) for round-to-round comparability, but this chip's
-    # XLA assigns low-channel bf16 activations 8x-padded layouts, and the
-    # padding amortizes with batch (docs/BENCH_DETAIL.md) — at batch 128
-    # with remat'd conv blocks the SAME model trains 2.5x faster per sample.
+    # Large-batch operating point: the headline above keeps the reference's
+    # batch sizes (16/32) for round-to-round comparability; this point shows
+    # the SAME model at b128 (remat'd conv blocks — b128 640² activations
+    # need it for HBM). Historical note: before the pallas_nhcw lowering this
+    # was 2.5x faster per sample (XLA's padded NHWC layouts amortized with
+    # batch); with the layout ceiling gone, b16/b32 is throughput-optimal
+    # and this row is kept for continuity (docs/BENCH_DETAIL.md).
     prod_cfg = Config(
         model=ModelConfig(dropout=0.05, max_iter=10, inference_max_iter=50,
                           nn_refresh_dist=0.05,  # speed knob: bench opts in
@@ -336,8 +338,9 @@ def main():
         "eval_b64_pairs_per_sec": round(prod_eval_sps, 2),
         "combined_pairs_per_sec": round(
             2.0 / (1.0 / prod_train_sps + 1.0 / prod_eval_sps), 2),
-        "note": "same model, throughput-optimal batches; headline keeps "
-                "the reference's 16/32",
+        "note": "same model at large batch (b128 needs remat for HBM); "
+                "with the pallas_nhcw UNet the b16/b32 headline is the "
+                "throughput-optimal point — this row is kept for continuity",
     }
     # Free the b128 state/batches before the config sweep — keeping them
     # live OOMs the 640² b32 train-step compile later in the sweep.
