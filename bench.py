@@ -14,17 +14,23 @@ PyTorch pipeline measured on this host at the SAME shapes and batch sizes
 its own — BASELINE.md).
 
 The default run measures the headline (two reference-shape steps) FIRST,
-then the batch-128 production point and all five BASELINE.json configs —
-with a persistent compile cache the whole sweep fits the budget, and the
-official record finally carries config-level perf (VERDICT r3 #5). Set
-BENCH_LEAN=1 to stop after the headline (old behavior). BENCH_FULL=1 is
-accepted as a no-op alias for the default.
+then all five BASELINE.json configs, the trained-checkpoint eval row, the
+exact-semantics (refresh-0) eval row, and the batch-128 production point
+LAST — with a persistent compile cache the whole sweep fits the budget,
+and the official record carries config-level perf (VERDICT r3 #5 / r4 #2).
+Set BENCH_LEAN=1 to stop after the headline. BENCH_FULL=1 is accepted as a
+no-op alias for the default.
 
-A wall-clock budget guard (BENCH_BUDGET_S, default 1320 s) emits the JSON
-with whatever phases completed if measurement overruns — once the headline
-numbers land the record stays status "ok" and only the config sweep is
-marked truncated; the official record must never be an empty timeout
-(round-2 lesson: BENCH_r02 rc=124/parsed null).
+Budget discipline (round-4 lesson: the driver record truncated inside the
+b128 production compile because that config changed AFTER the last full
+self-run, so its cache entries were cold): phases are ordered
+must-have → nice-to-have, every entry lands in RESULT the moment it is
+measured, and each expensive phase first checks the remaining wall budget
+against a cold-compile estimate — skipping with an explicit marker instead
+of letting SIGALRM kill it mid-compile. A wall-clock budget guard
+(BENCH_BUDGET_S, default 1320 s) emits the JSON with whatever phases
+completed if measurement overruns; the official record must never be an
+empty timeout (round-2 lesson: BENCH_r02 rc=124/parsed null).
 """
 from __future__ import annotations
 
@@ -71,7 +77,13 @@ def _on_budget(signum, frame):  # pragma: no cover - timing dependent
 
 
 signal.signal(signal.SIGALRM, _on_budget)
-signal.alarm(int(os.environ.get("BENCH_BUDGET_S", "1320")))
+_BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "1320"))
+signal.alarm(_BUDGET_S)
+_T0 = time.time()
+
+
+def _time_left() -> float:
+    return _BUDGET_S - (time.time() - _T0)
 
 # TPU v5e (v5 lite) peak: 197 TFLOP/s bf16. The geometry/ICP path runs f32
 # (precision=highest), so bf16-peak-relative MFU is a conservative bound.
@@ -303,113 +315,168 @@ def main():
         return
     detail["full_phase"] = "incomplete"
 
-    # Large-batch operating point: the headline above keeps the reference's
-    # batch sizes (16/32) for round-to-round comparability; this point shows
-    # the SAME model at b128 (remat'd conv blocks — b128 640² activations
-    # need it for HBM). Historical note: before the pallas_nhcw lowering this
-    # was 2.5x faster per sample (XLA's padded NHWC layouts amortized with
-    # batch); with the layout ceiling gone, b16/b32 is throughput-optimal
-    # and this row is kept for continuity (docs/BENCH_DETAIL.md).
-    prod_cfg = Config(
-        model=ModelConfig(dropout=0.05, max_iter=10, inference_max_iter=50,
-                          nn_refresh_dist=0.05,  # speed knob: bench opts in
-                          conv_impl="pallas_nhcw",
-                          dtype="bfloat16", remat=True),
-        train=TrainConfig(batch_size_train=128, batch_size_test=64),
+    # --- the five BASELINE.json configs (must-have: VERDICT r3 #5 / r4 #2) --
+    from mm_masking_tpu.evaluation import baselines as bl
+
+    detail["configs"] = {}
+    # 1: unweighted pt2pl ICP on scan pairs.
+    t = time_fn(lambda: bl.config1_unweighted_pt2pl(cfg, eval_batch),
+                iters=4)
+    detail["configs"]["1_unweighted_pt2pl"] = {
+        "ms": round(t * 1e3, 2), "pairs_per_sec": round(batch_eval / t, 2)}
+    # 2: CACFAR extraction + constant-weight ICP (raw polar input).
+    polar_spec = SyntheticSpec(n_scan=n_scan, n_map=n_map,
+                               network_input_type="polar")
+    polar_batch = shard_batch(
+        synthetic_batch(2, batch=batch_eval, spec=polar_spec), trainer.mesh
     )
-    prod_trainer = Trainer(prod_cfg, mesh=trainer.mesh,
-                           logger=trainer.logger)
-    prod_state = prod_trainer.init_state()
-    tb128 = shard_batch(synthetic_batch(2, batch=128, spec=spec), trainer.mesh)
-    eb64 = shard_batch(synthetic_batch(3, batch=64, spec=spec), trainer.mesh)
-    t_train_p = time_fn(
-        lambda: prod_trainer._train_step(prod_state, tb128,
-                                         mask_losses_active=True),
-        iters=4,
+    t = time_fn(lambda: bl.config2_cacfar_constant_icp(cfg, polar_batch),
+                iters=4)
+    detail["configs"]["2_cacfar_constant_icp"] = {
+        "ms": round(t * 1e3, 2), "pairs_per_sec": round(batch_eval / t, 2)}
+    del polar_batch
+    # 3: learned mask + weighted ICP end to end (== eval step sans stats).
+    t = time_fn(
+        lambda: bl.config3_learned_mask_icp(
+            trainer.policy, state.variables, eval_batch),
+        iters=4)
+    detail["configs"]["3_learned_mask_icp"] = {
+        "ms": round(t * 1e3, 2), "pairs_per_sec": round(batch_eval / t, 2)}
+    # 4: batched backprop-through-ICP training step (== headline train).
+    detail["configs"]["4_train_step"] = {
+        "ms": round(t_train * 1e3, 2),
+        "pairs_per_sec": round(train_sps, 2)}
+    # 5: multi-sequence localization: batched jitted localize_frame over
+    # 64 frames (detector → extraction → two-phase ICP).
+    from mm_masking_tpu.localization import (
+        LocalizationConfig,
+        localize_sequence,
     )
-    t_eval_p = time_fn(
-        lambda: prod_trainer._eval_step(prod_state, eb64, binary=False),
-        iters=4,
-    )
-    prod_train_sps = 128 / t_train_p
-    prod_eval_sps = 64 / t_eval_p
-    detail["production_point"] = {
-        "train_b128_remat_pairs_per_sec": round(prod_train_sps, 2),
-        "eval_b64_pairs_per_sec": round(prod_eval_sps, 2),
-        "combined_pairs_per_sec": round(
-            2.0 / (1.0 / prod_train_sps + 1.0 / prod_eval_sps), 2),
-        "note": "same model at large batch (b128 needs remat for HBM); "
-                "with the pallas_nhcw UNet the b16/b32 headline is the "
-                "throughput-optimal point — this row is kept for continuity",
+
+    loc = synthetic_batch(3, batch=64, spec=polar_spec)
+    frames = {
+        "fft": loc["loc_data"]["fft_data"],
+        "azimuths": loc["loc_data"]["azimuths"],
+        "az_times": loc["loc_data"]["az_times"],
     }
-    # Free the b128 state/batches before the config sweep — keeping them
-    # live OOMs the 640² b32 train-step compile later in the sweep.
-    del prod_trainer, prod_state, tb128, eb64
+    map_pc = loc["map_data"]["pc"][:1]
+    loc_cfg = LocalizationConfig(max_points=n_scan, nn_refresh_dist=0.05)
+    t = time_fn(
+        lambda: localize_sequence(frames, map_pc, cfg=loc_cfg,
+                                  batch_size=batch_eval),
+        iters=2,
+    )
+    detail["configs"]["5_multi_sequence_loc"] = {
+        "ms_per_64_frames": round(t * 1e3, 2),
+        "frames_per_sec": round(64 / t, 2)}
+    del loc, frames, map_pc
+    detail["full_phase"] = "ok"  # configs 1-5 are in; the rest is bonus.
 
-    if True:  # full phase continues: the five BASELINE.json configs.
-        from mm_masking_tpu.evaluation import baselines as bl
+    # --- trained-checkpoint eval row (VERDICT r4 #8): the official eval
+    # regime with CONVERGED weights, not random-init jitter. Same compiled
+    # program (weights are data), so this row is nearly free.
+    ckpt_dir = os.path.join(os.path.dirname(__file__), "results",
+                            "checkpoints")
+    for run in ("e2e_product_r5", "e2e_product_r4"):
+        run_dir = os.path.join(ckpt_dir, run)
+        if not os.path.isdir(os.path.join(run_dir, "best_policy")):
+            continue
+        try:
+            from mm_masking_tpu.train.checkpoint import load_policy_variables
 
-        detail["configs"] = {}
-        # 1: unweighted pt2pl ICP on scan pairs.
-        t = time_fn(lambda: bl.config1_unweighted_pt2pl(cfg, eval_batch),
-                    iters=4)
-        detail["configs"]["1_unweighted_pt2pl"] = {
-            "ms": round(t * 1e3, 2), "pairs_per_sec": round(batch_eval / t, 2)}
-        # 2: CACFAR extraction + constant-weight ICP (raw polar input).
-        polar_spec = SyntheticSpec(n_scan=n_scan, n_map=n_map,
-                                   network_input_type="polar")
-        polar_batch = shard_batch(
-            synthetic_batch(2, batch=batch_eval, spec=polar_spec), trainer.mesh
+            tvars = load_policy_variables(run_dir)
+            tstate = state._replace(variables=tvars)
+            t = time_fn(lambda: eval_step(tstate, eval_batch), iters=4)
+            detail["eval_trained_checkpoint"] = {
+                "checkpoint": run, "ms": round(t * 1e3, 2),
+                "pairs_per_sec": round(batch_eval / t, 2),
+                "note": "eval step with the trained product-run weights — "
+                        "converged-mask solve behavior (few refreshes, "
+                        "early tolerance exits), the regime a deployed "
+                        "user sees; random-init headline is the "
+                        "conservative bound"}
+            del tvars, tstate
+        except Exception as e:  # arch mismatch etc. — report, don't die
+            detail["eval_trained_checkpoint"] = {"checkpoint": run,
+                                                 "error": repr(e)}
+        break
+
+    # --- exact-semantics eval row (VERDICT r4 #3): nn_refresh_dist=0 —
+    # associate every iteration, dICP reference semantics. Reported
+    # alongside the gated headline so both regimes are in the official
+    # record. New program → cold-compile risk: budget-gate it.
+    if _time_left() > 240:
+        exact_cfg = Config(
+            model=ModelConfig(dropout=0.05, max_iter=10,
+                              inference_max_iter=50,
+                              nn_refresh_dist=0.0,
+                              conv_impl="pallas_nhcw", dtype="bfloat16"),
+            train=TrainConfig(batch_size_train=batch_train,
+                              batch_size_test=batch_eval),
         )
-        t = time_fn(lambda: bl.config2_cacfar_constant_icp(cfg, polar_batch),
-                    iters=4)
-        detail["configs"]["2_cacfar_constant_icp"] = {
-            "ms": round(t * 1e3, 2), "pairs_per_sec": round(batch_eval / t, 2)}
-        del polar_batch
-        # 3: learned mask + weighted ICP end to end (== eval step sans stats).
+        exact_trainer = Trainer(exact_cfg, mesh=trainer.mesh,
+                                logger=trainer.logger)
         t = time_fn(
-            lambda: bl.config3_learned_mask_icp(
-                trainer.policy, state.variables, eval_batch),
+            lambda: exact_trainer._eval_step(state, eval_batch, binary=False),
             iters=4)
-        detail["configs"]["3_learned_mask_icp"] = {
-            "ms": round(t * 1e3, 2), "pairs_per_sec": round(batch_eval / t, 2)}
-        # 4: batched backprop-through-ICP training step (== headline train).
-        detail["configs"]["4_train_step"] = {
-            "ms": round(t_train * 1e3, 2),
-            "pairs_per_sec": round(train_sps, 2)}
-        # 4b: the same step at batch 32 — larger batches amortize the
-        # fixed-cost fraction; the headline stays at the reference's 16.
-        t32_batch = shard_batch(
-            synthetic_batch(4, batch=32, spec=spec), trainer.mesh
-        )
-        t = time_fn(lambda: train_step(state, t32_batch), iters=4)
-        detail["configs"]["4b_train_step_b32"] = {
-            "ms": round(t * 1e3, 2), "pairs_per_sec": round(32 / t, 2)}
-        # 5: multi-sequence localization: batched jitted localize_frame over
-        # 64 frames (detector → extraction → two-phase ICP).
-        from mm_masking_tpu.localization import (
-            LocalizationConfig,
-            localize_sequence,
-        )
+        detail["eval_exact_refresh0"] = {
+            "ms": round(t * 1e3, 2),
+            "pairs_per_sec": round(batch_eval / t, 2),
+            "note": "nn_refresh_dist=0 (re-associate every iteration = "
+                    "reference dICP semantics, exact); the headline eval "
+                    "uses the 0.05 motion-gated refresh (bounded-deviation "
+                    "approximation, docs/BENCH_DETAIL.md)"}
+        del exact_trainer
+    else:
+        detail["eval_exact_refresh0"] = {"status": "skipped_budget"}
 
-        loc = synthetic_batch(3, batch=64, spec=polar_spec)
-        frames = {
-            "fft": loc["loc_data"]["fft_data"],
-            "azimuths": loc["loc_data"]["azimuths"],
-            "az_times": loc["loc_data"]["az_times"],
+    # --- large-batch production point (continuity row, most expensive
+    # compile → last + budget-gated). The headline keeps the reference's
+    # batch sizes (16/32); this shows the SAME model at b128 (remat'd conv
+    # blocks — b128 640² activations need it for HBM). With the pallas_nhcw
+    # layout ceiling gone, b16/b32 is throughput-optimal; kept for
+    # round-to-round continuity (docs/BENCH_DETAIL.md).
+    if _time_left() > 420:
+        prod_cfg = Config(
+            model=ModelConfig(dropout=0.05, max_iter=10,
+                              inference_max_iter=50,
+                              nn_refresh_dist=0.05,  # speed knob: bench opts in
+                              conv_impl="pallas_nhcw",
+                              dtype="bfloat16", remat=True),
+            train=TrainConfig(batch_size_train=128, batch_size_test=64),
+        )
+        prod_trainer = Trainer(prod_cfg, mesh=trainer.mesh,
+                               logger=trainer.logger)
+        prod_state = prod_trainer.init_state()
+        tb128 = shard_batch(synthetic_batch(2, batch=128, spec=spec),
+                            trainer.mesh)
+        eb64 = shard_batch(synthetic_batch(3, batch=64, spec=spec),
+                           trainer.mesh)
+        t_train_p = time_fn(
+            lambda: prod_trainer._train_step(prod_state, tb128,
+                                             mask_losses_active=True),
+            iters=4,
+        )
+        t_eval_p = time_fn(
+            lambda: prod_trainer._eval_step(prod_state, eb64, binary=False),
+            iters=4,
+        )
+        prod_train_sps = 128 / t_train_p
+        prod_eval_sps = 64 / t_eval_p
+        detail["production_point"] = {
+            "train_b128_remat_pairs_per_sec": round(prod_train_sps, 2),
+            "eval_b64_pairs_per_sec": round(prod_eval_sps, 2),
+            "combined_pairs_per_sec": round(
+                2.0 / (1.0 / prod_train_sps + 1.0 / prod_eval_sps), 2),
+            "note": "same model at large batch (b128 needs remat for HBM); "
+                    "with the pallas_nhcw UNet the b16/b32 headline is the "
+                    "throughput-optimal point — this row is kept for "
+                    "continuity",
         }
-        map_pc = loc["map_data"]["pc"][:1]
-        loc_cfg = LocalizationConfig(max_points=n_scan, nn_refresh_dist=0.05)
-        t = time_fn(
-            lambda: localize_sequence(frames, map_pc, cfg=loc_cfg,
-                                      batch_size=batch_eval),
-            iters=2,
-        )
-        detail["configs"]["5_multi_sequence_loc"] = {
-            "ms_per_64_frames": round(t * 1e3, 2),
-            "frames_per_sec": round(64 / t, 2)}
+        del prod_trainer, prod_state, tb128, eb64
+    else:
+        detail["production_point"] = {"status": "skipped_budget"}
 
-    detail["full_phase"] = "ok"
     emit()
 
 

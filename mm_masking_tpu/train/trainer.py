@@ -279,25 +279,33 @@ class Trainer:
             save_mask_image(np.asarray(bev)[0], art_dir, "map_mask")
 
     def generate_baseline(self, state: TrainState, batches: Iterable,
-                          baseline_type: str = "val", binary: bool = False):
+                          baseline_type: str = "val", binary: bool = False,
+                          mask_kind: str = "auto"):
         """Init vs baseline-mask ICP losses (`train_icp_weights.py:275-344`).
 
-        The baseline mask is chosen by the active loss weights: CFAR image if
-        the cfar term is on, the FFT threshold mask if fft is on, the map BEV if
-        mask_pts is on, else all-ones.
+        With ``mask_kind="auto"`` the baseline mask is chosen by the active
+        loss weights, mirroring the reference: CFAR image if the cfar term is
+        on, the FFT threshold mask if fft is on, the map BEV if mask_pts is
+        on, else all-ones. Explicit kinds ("ones", "cfar", "fft", "mask_pts")
+        force one baseline regardless of the loss config — the reference
+        evaluates the CFAR baseline as its own run configuration
+        (`train_icp_weights.py:287-305`); here it is one more pass.
         """
         cfg = self.cfg
         loss_init_hist, loss_ones_hist = [], []
         for batch in batches:
             batch = shard_batch(batch, self.mesh)
             scan = batch["loc_data"]
-            if cfg.loss.cfar > 0.0:
+            if (mask_kind == "cfar"
+                    or (mask_kind == "auto" and cfg.loss.cfar > 0.0)):
                 ones_mask = scan["fft_cfar"]
-            elif cfg.loss.fft > 0.0:
+            elif (mask_kind == "fft"
+                    or (mask_kind == "auto" and cfg.loss.fft > 0.0)):
                 fft = scan["fft_data"]
                 mean_scan = jnp.mean(fft, axis=(1, 2), keepdims=True)
                 ones_mask = jnp.where(fft > 3.0 * mean_scan, 1.0, 0.0)
-            elif cfg.loss.mask_pts > 0.0:
+            elif (mask_kind == "mask_pts"
+                    or (mask_kind == "auto" and cfg.loss.mask_pts > 0.0)):
                 ones_mask = extract_bev_from_pts(
                     batch["map_data"]["pc"][..., :3],
                     cart_pixel_width=cfg.model.cart_pixel_width,
