@@ -113,6 +113,11 @@ class CdrReader:
 
     def __init__(self, buf: bytes):
         self.buf = buf
+        if len(buf) < 4:
+            raise ValueError(
+                f"CDR blob of {len(buf)} bytes — shorter than the 4-byte "
+                "encapsulation header; truncated or not a CDR payload"
+            )
         rep_id = struct.unpack_from(">H", buf, 0)[0]
         if rep_id not in (0x0000, 0x0001, 0x0002, 0x0003):
             raise ValueError(f"unknown CDR representation 0x{rep_id:04x}")
