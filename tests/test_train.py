@@ -172,3 +172,55 @@ def test_cosine_lr_schedule_decays_updates():
         make_optimizer(Config(train=TrainConfig(lr_schedule="cosine")))
     # default config is untouched reference semantics
     assert Config().train.lr_schedule == "constant"
+
+
+def test_full_fit_sharded_equals_single_device(tmp_path):
+    """Multi-epoch `Trainer.fit` equivalence on the 1- vs 8-device mesh
+    (VERDICT r4 #7): the whole loop — baselines, per-epoch train/validate,
+    best-checkpoint selection — must produce the same loss curve and final
+    parameters within f32 reduction-order tolerance, and restoring the
+    epoch-0 checkpoint mid-run must continue to the same end state."""
+    cfg = tiny_config(tmp_path)
+    train_data = batches(2)
+    val_data = batches(1, seed0=100)
+
+    def run(mesh_n, sub):
+        c = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, checkpoint_dir=str(tmp_path / sub)))
+        tr = Trainer(c, mesh=make_mesh(mesh_n))
+        state = tr.fit(lambda epoch: train_data, lambda: val_data,
+                       num_epochs=2)
+        recs = [r for r in map(
+            __import__("json").loads, open(tr.logger.path))
+            if r.get("event") == "epoch"]
+        return tr, state, recs
+
+    t8, s8, r8 = run(8, "m8")
+    t1, s1, r1 = run(1, "m1")
+
+    assert len(r8) == len(r1) == 2
+    for a, b in zip(r8, r1):
+        assert abs(a["loss"] - b["loss"]) < 1e-3 * max(1.0, abs(b["loss"]))
+        assert abs(a["acc"] - b["acc"]) < 2e-3
+    for pa, pb in zip(jax.tree_util.tree_leaves(s8.variables["params"]),
+                      jax.tree_util.tree_leaves(s1.variables["params"])):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   atol=5e-3, rtol=1e-3)
+
+    # Checkpoint-restore equivalence: resume the 8-device run from its
+    # epoch_0 checkpoint on a FRESH trainer and fit the remaining epoch —
+    # the final params must match the uninterrupted run on the same mesh.
+    c8 = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, checkpoint_dir=str(tmp_path / "m8")))
+    tr_resume = Trainer(c8, mesh=make_mesh(8))
+    restored = restore_checkpoint(str(tmp_path / "m8"), "epoch_0",
+                                  tr_resume.init_state())
+    assert int(restored.epoch) == 1
+    s8b = tr_resume.fit(lambda epoch: train_data, lambda: val_data,
+                        state=restored, num_epochs=2)
+    for pa, pb in zip(jax.tree_util.tree_leaves(s8.variables["params"]),
+                      jax.tree_util.tree_leaves(s8b.variables["params"])):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   atol=1e-6)
