@@ -86,12 +86,28 @@ def relative_loc_errors(est_T_loc_map, gt_T_loc_map):
     return np.asarray(rots), np.asarray(trans)
 
 
+def relative_loc_error_components(est_T_loc_map, gt_T_loc_map):
+    """Per-frame signed error components in the localization-sensor frame:
+    (rot_signed, longitudinal (x), lateral (y)) — the decomposition
+    pyboreas' `plot_loc_stats` reports per sequence (the reference's
+    per-sequence eval figure, `utils/extract_loc_gt_v2.py:10`)."""
+    rot, lon, lat = [], [], []
+    for Te, Tg in zip(est_T_loc_map, gt_T_loc_map):
+        D = Te @ get_inverse_tf(Tg)
+        rot.append(float(np.arcsin(np.clip(D[1, 0], -1.0, 1.0))))
+        lon.append(float(D[0, 3]))
+        lat.append(float(D[1, 3]))
+    return np.asarray(rot), np.asarray(lon), np.asarray(lat)
+
+
 def eval_localization_run(
     est_path: str,
     map_gt_csv: str,
     loc_gt_csv: str,
     out_gt_path: str | None = None,
     tol_us: int = 1000,
+    plots_dir: str | None = None,
+    seq_name: str = "sequence",
 ) -> dict:
     """End-to-end: read an estimated trajectory (`T_loc_map` per frame in the
     map-sensor frame), align GT from the Applanix CSVs, optionally write the
@@ -116,13 +132,24 @@ def eval_localization_run(
         write_traj_file(out_gt_path, gt_rel, times)
 
     rot, trans = relative_loc_errors(est_poses, gt_rel)
-    return {
+    stats = {
         "n_frames": int(len(est_poses)),
         "rot_mean": float(rot.mean()),
         "rot_rmse": float(np.sqrt((rot**2).mean())),
         "trans_mean": float(trans.mean()),
         "trans_rmse": float(np.sqrt((trans**2).mean())),
+        "trans_p50": float(np.percentile(trans, 50)),
+        "trans_p90": float(np.percentile(trans, 90)),
+        "trans_max": float(trans.max()),
+        "rot_max": float(rot.max()),
     }
+    if plots_dir is not None:
+        from mm_masking_tpu.utils.visualize import save_loc_error_plots
+
+        rs, lon, lat = relative_loc_error_components(est_poses, gt_rel)
+        stats["plots"] = save_loc_error_plots(
+            np.asarray(times), rs, lon, lat, plots_dir, seq_name)
+    return stats
 
 
 def eval_odometry_run(est_path: str, odo_gt_csv: str,

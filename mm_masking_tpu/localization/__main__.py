@@ -409,6 +409,8 @@ def cmd_localize(args) -> int:
         stats = eval_localization_run(
             args.out_traj, args.map_gt, args.loc_gt,
             out_gt_path=args.out_gt or None,
+            plots_dir=args.plots_dir or None,
+            seq_name=osp.splitext(osp.basename(args.out_traj))[0],
         )
         line = json.dumps(stats, indent=2)
         if args.stats:
@@ -501,6 +503,10 @@ def main(argv=None) -> int:
     l.add_argument("--out-gt", default="",
                    help="write the aligned GT trajectory here")
     l.add_argument("--stats", default="", help="write error stats JSON here")
+    l.add_argument("--plots-dir", default="",
+                   help="also emit the per-sequence error-over-trajectory "
+                        "figure + CSV table (pyboreas plot_loc_stats "
+                        "reporting surface) into this directory")
     l.set_defaults(fn=cmd_localize)
 
     g = sub.add_parser(

@@ -79,3 +79,45 @@ def save_weighted_scan(scan_pc: np.ndarray, weights: np.ndarray, out_dir: str,
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return path
+
+
+def save_loc_error_plots(times_us: np.ndarray, rot_signed: np.ndarray,
+                         lon: np.ndarray, lat: np.ndarray,
+                         out_dir: str, seq_name: str) -> dict:
+    """Per-sequence error-over-trajectory figure + CSV table, the
+    pyboreas `plot_loc_stats` reporting surface the reference's GT
+    extractors import (`/root/reference/mm_masking/utils/
+    extract_loc_gt_v2.py:10`): signed longitudinal / lateral / heading
+    localization error per frame over the run, with RMSE annotations.
+
+    Returns {'png': path, 'csv': path}.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    t = (np.asarray(times_us, np.int64) - int(times_us[0])) / 1e6
+
+    fig, axes = plt.subplots(3, 1, figsize=(9, 7), sharex=True)
+    for ax, series, name, unit in (
+        (axes[0], lon, "longitudinal", "m"),
+        (axes[1], lat, "lateral", "m"),
+        (axes[2], np.degrees(rot_signed), "heading", "deg"),
+    ):
+        ax.plot(t, series, lw=0.9)
+        ax.axhline(0.0, color="k", lw=0.5, alpha=0.4)
+        rmse = float(np.sqrt(np.mean(series**2)))
+        ax.set_ylabel(f"{name} [{unit}]")
+        ax.set_title(f"{name} error  (rmse {rmse:.4f} {unit})", fontsize=9,
+                     loc="left")
+        ax.grid(alpha=0.25)
+    axes[-1].set_xlabel("time since first frame [s]")
+    fig.suptitle(f"{seq_name}: localization error over trajectory")
+    fig.tight_layout()
+    png = osp.join(out_dir, f"{seq_name}_loc_errors.png")
+    fig.savefig(png, dpi=130)
+    plt.close(fig)
+
+    csv_path = osp.join(out_dir, f"{seq_name}_loc_errors.csv")
+    with open(csv_path, "w") as f:
+        f.write("time_us,longitudinal_m,lateral_m,heading_rad\n")
+        for tu, lo, la, rr in zip(times_us, lon, lat, rot_signed):
+            f.write(f"{int(tu)},{lo:.6f},{la:.6f},{rr:.6f}\n")
+    return {"png": png, "csv": csv_path}

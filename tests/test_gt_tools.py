@@ -72,6 +72,24 @@ def test_eval_localization_run(tmp_path):
     poses, times = read_traj_file(str(tmp_path / "gt_out.txt"))
     assert len(poses) == 4
 
+    # Per-sequence reporting surface (VERDICT r4 #9): the pyboreas
+    # plot_loc_stats-style error-over-trajectory figure + CSV table.
+    stats_p = eval_localization_run(
+        est_path, map_csv, loc_csv,
+        plots_dir=str(tmp_path / "plots"), seq_name="val_seq")
+    assert set(stats_p["plots"]) == {"png", "csv"}
+    import os
+    assert os.path.getsize(stats_p["plots"]["png"]) > 1000
+    rows = open(stats_p["plots"]["csv"]).read().strip().splitlines()
+    assert rows[0] == "time_us,longitudinal_m,lateral_m,heading_rad"
+    assert len(rows) == 5  # header + 4 frames
+    # perfect trajectory -> all error components ~0
+    for r in rows[1:]:
+        _, lon, lat, rot = r.split(",")
+        assert abs(float(lon)) < 1e-6 and abs(float(lat)) < 1e-6
+        assert abs(float(rot)) < 1e-6
+    assert stats_p["trans_p90"] < 1e-6 and stats_p["trans_max"] < 1e-6
+
 
 def test_pc_bin_roundtrip(tmp_path):
     from mm_masking_tpu.data.boreas import dump_pc_to_file, load_pc_from_file
