@@ -103,6 +103,14 @@ class ModelConfig:
     # semantics); > 0 prevents near-dead systems from death-spiraling tens
     # of meters on hard frames.
     icp_max_step_m: float = 0.0
+    # Raw ICPConfig field overrides applied to BOTH the train and inference
+    # solver configs, as ("field=value", ...) strings — the escape hatch the
+    # dICP assumption-sensitivity study (docs/STATUS.md r5) uses to flip
+    # reconstruction free choices (robust_on, stop_metric,
+    # planar_retraction, damping_rel, loss_name, ...) through the full
+    # policy chain without widening ModelConfig per knob. Values are coerced
+    # to the ICPConfig field's default type. Empty = reference semantics.
+    icp_overrides: tuple = ()
 
     @property
     def in_channels(self) -> int:

@@ -133,6 +133,28 @@ class ICPConfig:
     # order, which is the entire 10-iteration pt2pt parity transient
     # (test_solver_parity.py: exact at 10 iters under "direct").
     planar_retraction: str = "exp"  # "exp" | "direct"
+    # Which magnitude feeds the robust kernel for pt2pl: the plane residual
+    # |n·(p−q)| ("residual", the torch-oracle convention and our default) or
+    # the full euclidean distance ‖p−q‖ ("distance"). A genuinely free
+    # choice in the reconstructed dICP (`icp_weight_policy.py:277-288` shows
+    # only the ctor loss dict); measured by the assumption-sensitivity study
+    # (docs/STATUS.md r5). pt2pt is unaffected (both are ‖p−q‖).
+    robust_on: str = "residual"  # "residual" | "distance"
+    # While-loop stopping magnitude: ‖δ₆‖ ("norm6", mixes meters and
+    # radians — the dICP tolerance=1e-5 convention we reconstruct),
+    # translation-only ("trans"), or max-abs component ("maxabs"). Another
+    # free choice of the reconstruction; sensitivity measured in the study.
+    stop_metric: str = "norm6"  # "norm6" | "trans" | "maxabs"
+
+
+def _stop_mag(delta: jax.Array, cfg: "ICPConfig") -> jax.Array:
+    """Per-item magnitude compared against ``cfg.tolerance`` by the
+    while-loop solvers (see ICPConfig.stop_metric)."""
+    if cfg.stop_metric == "trans":
+        return jnp.linalg.norm(delta[:, :3], axis=-1)
+    if cfg.stop_metric == "maxabs":
+        return jnp.max(jnp.abs(delta), axis=-1)
+    return jnp.linalg.norm(delta, axis=-1)
 
 
 def robust_weight(r_norm: jax.Array, name: str, k: float) -> jax.Array:
@@ -209,7 +231,7 @@ def _gn_step(
     if cfg.icp_type == "pt2pl":
         n = jnp.take_along_axis(target_nrm, idx[..., None], axis=1)
         r = jnp.sum(n * diff, axis=-1)  # (B, N) signed
-        r_norm = jnp.abs(r)
+        r_norm = jnp.abs(r) if cfg.robust_on == "residual" else dist
     else:
         r = diff  # (B, N, 3)
         r_norm = dist
@@ -549,7 +571,7 @@ def icp(
                 # the freeze below still enforces the per-item stop
                 T_new, delta = step(T)
                 idx = idx0
-            ndn = jnp.linalg.norm(delta, axis=-1)
+            ndn = _stop_mag(delta, cfg)
             T_out = jnp.where(run[:, None, None], T_new, T)
             dn_out = jnp.where(run, ndn, dn)  # stopped items stay < tol
             return (T_out, it + 1, dn_out, idx)
@@ -610,7 +632,7 @@ def icp(
         )
         T_new, delta = step(T, idx=idx)
         moved_new = jnp.where(need, 0.0, moved) + eff_motion(delta)
-        return (T_new, it + 1, jnp.linalg.norm(delta, axis=-1), idx, moved_new)
+        return (T_new, it + 1, _stop_mag(delta, cfg), idx, moved_new)
 
     init2 = (
         T_init,

@@ -110,6 +110,16 @@ class LearnICPWeightPolicy:
             nn_refresh_dist=m.nn_refresh_dist,
             max_step_m=m.icp_max_step_m,
         )
+        if m.icp_overrides:
+            kv = {}
+            for ov in m.icp_overrides:
+                key, val = ov.split("=", 1)
+                cur = getattr(self._icp_inference, key)  # raises on typos
+                kv[key] = type(cur)(val) if not isinstance(cur, bool) \
+                    else val.lower() in ("1", "true", "yes")
+            self._icp_train = dataclasses.replace(self._icp_train, **kv)
+            self._icp_inference = dataclasses.replace(
+                self._icp_inference, **kv)
 
     # -- parameter init ----------------------------------------------------
     def init(self, rng: jax.Array) -> Any:
