@@ -341,6 +341,17 @@ def main():
     ap.add_argument("--train-seqs", type=int, default=1,
                     help="number of repeat train sequences (the reference "
                          "trains on 12 pairs against one teach)")
+    ap.add_argument("--warmup-epochs", type=int, default=0,
+                    help="two-stage training: first K epochs with the ICP "
+                         "loss OFF (use_icp_4_train=False — the reference's "
+                         "own mask-losses-only mode, icp_weight_policy.py:"
+                         "48-51,270-271), then resume with the full loss. "
+                         "On worlds where unweighted ICP diverges, backprop "
+                         "through the diverging unroll swamps the clean "
+                         "mask-loss signal with garbage gradients (measured: "
+                         "grad norms 7.5e7 by epoch 11, mask frozen); the "
+                         "warmup lands the mask near the map-BEV solution "
+                         "first so stage 2's solves start converged")
     args = ap.parse_args()
 
     sc = {"tiny": TINY, "mid": MID, "full": Scale()}[args.scale]
@@ -421,10 +432,25 @@ def main():
         print(f"[e2e] cosine lr: decay over {steps} steps", file=sys.stderr,
               flush=True)
 
-    trainer = Trainer(cfg)
+    train_batches = lambda epoch: epoch_batches(  # noqa: E731
+        train_ds, cfg.train.batch_size_train, cfg, shuffle=True, seed=epoch)
     val_batches = lambda: epoch_batches(  # noqa: E731
         val_ds, cfg.train.batch_size_test, cfg, shuffle=False,
         drop_last=False)
+    state = None
+    if args.warmup_epochs > 0:
+        warm_cfg = dataclasses.replace(
+            cfg, loss=dataclasses.replace(cfg.loss, icp_rot=0.0,
+                                          icp_trans=0.0))
+        assert not warm_cfg.use_icp_4_train
+        warm_trainer = Trainer(warm_cfg)
+        state = warm_trainer.fit(train_batches, val_batches,
+                                 num_epochs=args.warmup_epochs)
+        print(f"[e2e] warmup done ({args.warmup_epochs} epochs, ICP loss "
+              "off) — switching to the full loss", file=sys.stderr,
+              flush=True)
+
+    trainer = Trainer(cfg)
     if args.baselines_only:
         st = trainer.init_state()
         vi, vo = trainer.generate_baseline(st, val_batches(),
@@ -435,11 +461,7 @@ def main():
         print(json.dumps({"status": "baselines", "val_init": vi,
                           "val_ones": vo, "val_cfar": vc}), flush=True)
         return
-    state = trainer.fit(
-        lambda epoch: epoch_batches(train_ds, cfg.train.batch_size_train,
-                                    cfg, shuffle=True, seed=epoch),
-        val_batches,
-    )
+    state = trainer.fit(train_batches, val_batches, state=state)
     # CFAR baseline on the same held-out pass (the reference evaluates CFAR
     # as its own baseline configuration, `train_icp_weights.py:287-305`)
     _, val_cfar = trainer.generate_baseline(state, val_batches(),
