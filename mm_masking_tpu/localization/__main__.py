@@ -101,8 +101,20 @@ def _load_radar_frames(paths: list[str]):
         ffts.append(fft)
         azs.append(az)
         azts.append(np.asarray(azt) - np.asarray(azt).flat[0])
+    # _decode_radar_file keeps the FFT plane uint8 (the u8-on-the-wire
+    # input pipeline normalizes /255 on DEVICE, `loader.preprocess_batch`);
+    # every consumer here (detectors with [0,1]-scale thresholds like
+    # modified_cacfar's b=0.09, `radar_utils.py:20-27` "FFT power /255",
+    # policy.mask_for_scan) expects the normalized plane — divide on load.
+    # Round-5 regression fix: without this, CFAR fired on essentially every
+    # bin of a 0-255-scale scan and the fixed-size extraction filled its
+    # whole budget from the first ~14 azimuths — datagen emitted garbage
+    # clouds for every repeat sequence (teach lidar unaffected). The r4
+    # e2e artifacts predate the u8 pipeline; its bit-transparency check
+    # covered the dataset path only (tests/test_cli_localization.py now
+    # pins this loader's scale).
     return {
-        "fft": np.stack(ffts).astype(np.float32),
+        "fft": np.stack(ffts).astype(np.float32) / 255.0,
         "azimuths": np.stack(azs).astype(np.float32),
         "az_times": np.stack(azts).astype(np.float32),
     }

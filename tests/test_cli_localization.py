@@ -325,3 +325,51 @@ def test_load_radar_frames_epoch_times_survive_f32(tmp_path):
     # per-azimuth deltas must survive exactly (250 us = 250_000 ns steps)
     np.testing.assert_allclose(np.diff(azt), 250_000.0, rtol=0, atol=0.5)
     assert azt[0] == 0.0
+
+
+def test_load_radar_frames_normalizes_fft_scale(tmp_path):
+    """The u8-on-the-wire decoder keeps the FFT plane uint8 for the
+    dataset path (device-side /255); THIS loader's consumers (detectors
+    with [0,1]-scale thresholds, mask_for_scan) need the normalized plane.
+    Round-5 regression: un-normalized 0-255 power made CFAR fire on
+    essentially every bin and the fixed-size extraction filled its whole
+    budget from the first few azimuths — datagen emitted garbage clouds
+    for every repeat sequence."""
+    import jax.numpy as jnp
+
+    from mm_masking_tpu.localization import LocalizationConfig
+    from mm_masking_tpu.localization.__main__ import (
+        _extract_clouds,
+        _load_radar_frames,
+    )
+
+    A, R = 64, 256
+    rng = np.random.default_rng(0)
+    img = np.zeros((A, 11 + R), np.uint8)
+    ts = np.arange(A, dtype=np.int64) * 400
+    img[:, :8] = np.frombuffer(ts.tobytes(), np.uint8).reshape(A, 8)
+    enc = (np.arange(A, dtype=np.float64) / A * 5600).astype(np.uint16)
+    img[:, 8:10] = np.frombuffer(enc.tobytes(), np.uint8).reshape(A, 2)
+    fft = 0.05 * rng.random((A, R)) ** 2  # noise floor
+    # one bright wall return per azimuth at varying range
+    ri = (R // 4 + (np.arange(A) * 3) % (R // 2)).astype(int)
+    fft[np.arange(A), ri] = 0.9
+    img[:, 11:] = np.clip(fft * 255, 0, 255).astype(np.uint8)
+    p = tmp_path / "1000000.npy"
+    np.save(p, img)
+
+    frames = _load_radar_frames([str(p)])
+    # scale contract: normalized [0, 1] power
+    assert float(np.max(frames["fft"])) <= 1.0
+    assert 0.85 <= float(np.max(frames["fft"]))  # the wall returns
+
+    cfg = LocalizationConfig(detector="modified_cacfar", max_points=256,
+                             radar_resolution=0.1)
+    clouds = np.asarray(_extract_clouds(frames, cfg, 1))[0]
+    valid = (clouds[:, 0] != 0) | (clouds[:, 1] != 0)
+    pts = clouds[valid]
+    # detections are SPARSE (≈ one peak per azimuth, nothing near the cap)
+    assert 0 < valid.sum() <= 3 * A, int(valid.sum())
+    # and they span the full sweep, not a leading wedge
+    ang = np.mod(np.arctan2(pts[:, 1], pts[:, 0]), 2 * np.pi)
+    assert float(ang.max()) - float(ang.min()) > 4.0, (ang.min(), ang.max())
