@@ -462,12 +462,19 @@ def main():
                           "val_ones": vo, "val_cfar": vc}), flush=True)
         return
     state = trainer.fit(train_batches, val_batches, state=state)
-    # CFAR baseline on the same held-out pass (the reference evaluates CFAR
-    # as its own baseline configuration, `train_icp_weights.py:287-305`)
+    # CFAR + true-all-ones baselines on the same held-out pass (the
+    # reference evaluates CFAR as its own baseline configuration,
+    # `train_icp_weights.py:287-305`; the in-loop "ones" baseline follows
+    # the active loss config — map-BEV when mask_pts is on — so the
+    # unconditional all-ones row is measured explicitly here)
     _, val_cfar = trainer.generate_baseline(state, val_batches(),
                                             baseline_type="val",
                                             mask_kind="cfar")
-    trainer.logger.log("baseline_cfar", {"val_cfar": val_cfar})
+    _, val_allones = trainer.generate_baseline(state, val_batches(),
+                                               baseline_type="val",
+                                               mask_kind="ones")
+    trainer.logger.log("baseline_cfar", {"val_cfar": val_cfar,
+                                         "val_allones": val_allones})
     del state
 
     # pull the headline numbers back out of the run's JSONL (the logger
@@ -486,8 +493,10 @@ def main():
         "val_init_baseline": base["val_init"],
         "val_ones_baseline": base["val_ones"],
         "val_cfar_baseline": val_cfar,
+        "val_allones_baseline": val_allones,
         "improvement_vs_ones": base["val_ones"] / max(final["norm"], 1e-12),
         "improvement_vs_cfar": val_cfar / max(final["norm"], 1e-12),
+        "improvement_vs_allones": val_allones / max(final["norm"], 1e-12),
         "best_epoch_norm": min(e["acc"] for e in epochs),
         "epochs": len(epochs),
         "notfinite_count": epochs[-1]["notfinite_count"],
