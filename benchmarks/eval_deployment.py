@@ -105,11 +105,12 @@ def ghost_suppression(root: str, checkpoint: str, scale, n_frames: int = 8):
     mask = policy.mask_for_scan(
         variables, jnp.asarray(frames["fft"]), jnp.asarray(frames["azimuths"])
     )
-    w = np.asarray(extract_weights(
+    w, _stats = extract_weights(
         mask, jnp.asarray(clouds),
         cart_pixel_width=cfg.model.cart_pixel_width,
         cart_resolution=cfg.model.cart_resolution,
-    ))
+    )
+    w = np.asarray(w)
 
     true_w, ghost_w = [], []
     lo, hi = scale.ghost_off

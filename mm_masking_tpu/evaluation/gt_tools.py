@@ -108,12 +108,22 @@ def eval_localization_run(
     tol_us: int = 1000,
     plots_dir: str | None = None,
     seq_name: str = "sequence",
+    map_frame: str = "closest_time",
 ) -> dict:
     """End-to-end: read an estimated trajectory (`T_loc_map` per frame in the
     map-sensor frame), align GT from the Applanix CSVs, optionally write the
     aligned GT file, and return error statistics.
 
     Mirrors `extract_loc_gt_v2.eval_local` (`utils/extract_loc_gt_v2.py:147`).
+
+    ``map_frame`` picks the GT's map-pose convention: ``"closest_time"``
+    (per-frame closest teach row — the reference's proxy for VTR's
+    per-vertex submaps, valid when the estimate is per-vertex-relative) or
+    ``"first"`` (teach row 0 — the convention for runs localized against
+    ONE global teach map expressed in the first keyframe's frame, which is
+    what the localize CLI's `teach`-built map is; closest-in-TIME against
+    such runs picks an arbitrary teach row and reports a route-length
+    offset as error).
     """
     est_poses, est_times = read_traj_file(est_path)
     map_gt_poses, map_gt_times = read_traj_file_gt2(map_gt_csv, dim=2)
@@ -125,7 +135,8 @@ def eval_localization_run(
     gt_rel = []
     map_times_arr = np.asarray(map_gt_times, np.int64)
     for T_enu_loc, t in zip(loc_aligned, times):
-        i = get_closest_index(t, map_times_arr)
+        i = (0 if map_frame == "first"
+             else get_closest_index(t, map_times_arr))
         gt_rel.append(get_inverse_tf(T_enu_loc) @ map_gt_poses[i])
 
     if out_gt_path is not None:

@@ -423,6 +423,7 @@ def cmd_localize(args) -> int:
             out_gt_path=args.out_gt or None,
             plots_dir=args.plots_dir or None,
             seq_name=osp.splitext(osp.basename(args.out_traj))[0],
+            map_frame=args.map_frame,
         )
         line = json.dumps(stats, indent=2)
         if args.stats:
@@ -519,6 +520,13 @@ def main(argv=None) -> int:
                    help="also emit the per-sequence error-over-trajectory "
                         "figure + CSV table (pyboreas plot_loc_stats "
                         "reporting surface) into this directory")
+    l.add_argument("--map-frame", default="first",
+                   choices=["first", "closest_time"],
+                   help="GT map-pose convention for --stats: 'first' = the "
+                        "teach CSV's row 0 (matches maps built by the teach "
+                        "command — ONE global map in the first keyframe's "
+                        "frame); 'closest_time' = per-frame closest teach "
+                        "row (the reference's per-vertex-submap proxy)")
     l.set_defaults(fn=cmd_localize)
 
     g = sub.add_parser(
